@@ -1,0 +1,69 @@
+"""Noise-estimation loss and timestep sampling.
+
+Numerics mirror the reference's wavelet-variant loss
+(models/ddm_wavelet.py:108-124): the UNet input is
+[cond | x_t | other-HF-channels], the epsilon loss is sum-over-pixels then
+mean-over-batch, and the x0-MSE alternative is returned alongside.  Antithetic
+timestep sampling follows models/ddm_wavelet.py:255-256.
+
+Layout: NHWC (channels last).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class LossOutput(NamedTuple):
+    simple_loss: jax.Array   # scalar: E_b[ sum_pix (e - e_pred)^2 ]
+    mse_loss: jax.Array      # scalar: E_b[ sum_pix (x_tar - x0_pred)^2 ]
+    e_pred: jax.Array        # (B, H, W, pred_c)
+    x0_pred: jax.Array       # (B, H, W, pred_c)
+
+
+def antithetic_timesteps(key: jax.Array, n: int, num_timesteps: int) -> jax.Array:
+    """Antithetic t-sampling: draw ceil(n/2) uniform ints, mirror as T-1-t,
+    truncate to n (reference: models/ddm_wavelet.py:255-256)."""
+    half = n // 2 + 1
+    t = jax.random.randint(key, (half,), 0, num_timesteps)
+    return jnp.concatenate([t, num_timesteps - t - 1])[:n]
+
+
+def noise_estimation_loss(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x0: jax.Array,
+    t: jax.Array,
+    e: jax.Array,
+    betas: jax.Array,
+    *,
+    inp_channels: int,
+    pred_channels: int,
+    use_other_channels: bool,
+) -> LossOutput:
+    """Epsilon-prediction loss in the (wavelet) diffusion domain.
+
+    Args:
+      model_fn: (x, t_float) -> eps prediction, channels-last.
+      x0: (B, H, W, C) with channels [cond(inp) | target(pred) | other(HF)].
+      t: (B,) integer timesteps.
+      e: (B, H, W, pred_channels) noise.
+      betas: (T,) schedule.
+    """
+    a = jnp.cumprod(1.0 - betas)[t][:, None, None, None].astype(x0.dtype)
+    x_inp = x0[..., :inp_channels]
+    x_tar = x0[..., inp_channels:inp_channels + pred_channels]
+    xt = x_tar * jnp.sqrt(a) + e * jnp.sqrt(1.0 - a)
+    if use_other_channels:
+        x_other = x0[..., inp_channels + pred_channels:]
+        x = jnp.concatenate([xt, x_other], axis=-1)
+    else:
+        x = xt
+    output = model_fn(jnp.concatenate([x_inp, x], axis=-1), t.astype(jnp.float32))
+
+    x0_pred = (xt - output * jnp.sqrt(1.0 - a)) / jnp.sqrt(a)
+    simple = jnp.sum(jnp.square(e - output), axis=(1, 2, 3)).mean()
+    mse = jnp.sum(jnp.square(x_tar - x0_pred), axis=(1, 2, 3)).mean()
+    return LossOutput(simple, mse, output, x0_pred)
