@@ -1,0 +1,135 @@
+"""Shared Flax building blocks for the WaveDM-TPU networks.
+
+Numerics track the reference layers exactly (GroupNorm eps, asymmetric
+downsample padding, nearest-neighbor upsampling, timestep embedding), but the
+implementation is NHWC / channels-last and relies on XLA fusion rather than
+hand-scheduled modules.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "get_timestep_embedding",
+    "swish",
+    "Normalize",
+    "Upsample",
+    "Downsample",
+    "ResnetBlock",
+    "AttnBlock",
+]
+
+
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int) -> jax.Array:
+    """Sinusoidal timestep embedding (tensor2tensor/fairseq convention;
+    reference: models/unet.py:10-28).  timesteps: (B,) float/int."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    scale = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+class Normalize(nn.Module):
+    """GroupNorm(32, eps=1e-6) with affine (reference: models/unet.py:36-37)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=32, epsilon=1e-6, use_bias=True,
+                            use_scale=True, name="norm")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 upsample, optional 3x3 conv (reference: models/unet.py:40-56)."""
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(c, (3, 3), padding="SAME", name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv with the reference's asymmetric (0,1,0,1) pad
+    (models/unet.py:59-78), or 2x2 average pool."""
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            c = x.shape[-1]
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(c, (3, 3), strides=(2, 2), padding="VALID", name="conv")(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """GN -> swish -> conv -> +temb-proj -> GN -> swish -> dropout -> conv,
+    with 1x1 (or 3x3) shortcut when channels change
+    (reference: models/unet.py:81-138)."""
+    out_channels: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+
+        h = Normalize(name="norm1")(x)
+        h = swish(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
+
+        h = h + nn.Dense(out_ch, name="temb_proj")(swish(temb))[:, None, None, :]
+
+        h = Normalize(name="norm2")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
+
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_shortcut")(x)
+            else:
+                x = nn.Conv(out_ch, (1, 1), name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Full spatial self-attention with 1x1-conv projections
+    (reference: models/unet.py:141-193).  Runs as one batched einsum chain;
+    only ever instantiated at small resolutions (attn_resolutions=[16])."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = Normalize(name="norm")(x)
+        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
+
+        attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                          preferred_element_type=jnp.float32) * (c ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), name="proj_out")(out)
+        return x + out
