@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Evaluate / restore: run the full-image diffusive restoration over a test
+set and report PSNR (3 variants) + SSIM.
+
+TPU-native replacement for the reference eval path
+(test_weather_script.py -> eval_diffusion.py -> DiffusiveRestoration.restore).
+
+Usage:
+  python scripts/eval_diffusion.py --config wavedm_tpu/configs/raindrop_wavelet.yaml \
+      --resume <ckpt> [--hfrm-ckpt <ckpt>] [--image-folder results/images]
+  python scripts/eval_diffusion.py --config ... --smoke     # synthetic images
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--resume", default="", help="Diffusion checkpoint "
+                   "(orbax dir, or reference .pth.tar via torch_compat)")
+    p.add_argument("--hfrm-ckpt", default="")
+    p.add_argument("--image-folder", default="",
+                   help="Dump restored/cond/gt images here")
+    p.add_argument("--grid-r", type=int, default=None)
+    p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--test-set", default="raindrop")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--ema", action="store_true",
+                   help="Evaluate EMA weights (the reference defines but "
+                        "never enables this; models/restoration.py:24)")
+    p.add_argument("--n-images", type=int, default=0, help="Cap image count")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavedm_tpu.config import load_config
+    from wavedm_tpu.inference.restoration import DiffusiveRestoration
+    from wavedm_tpu.models.hfrm import HFRM
+    from wavedm_tpu.models.unet import DiffusionUNet
+
+    cfg = load_config(args.config)
+    if args.grid_r is not None:
+        cfg.sampling.grid_r = args.grid_r
+    if args.sampling_timesteps is not None:
+        cfg.sampling.sampling_timesteps = args.sampling_timesteps
+
+    unet = DiffusionUNet.from_config(cfg)
+    key = jax.random.PRNGKey(cfg.training.seed)
+    sample = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
+                        cfg.model.unet_in_channels))
+    uparams = jax.jit(unet.init)(key, sample, jnp.zeros((1,)))["params"]
+
+    if args.resume:
+        if args.resume.endswith((".pth", ".pth.tar", ".pt")):
+            from wavedm_tpu.utils.torch_compat import (
+                convert_unet_state_dict, load_torch_checkpoint)
+            sd = load_torch_checkpoint(args.resume)
+            uparams = convert_unet_state_dict(
+                sd, num_levels=len(cfg.model.ch_mult),
+                num_res_blocks=cfg.model.num_res_blocks)
+        else:
+            from wavedm_tpu.utils.checkpoint import load_checkpoint
+            state, _ = load_checkpoint(args.resume)
+            uparams = state.ema if args.ema else state.params
+        print(f"=> loaded checkpoint '{args.resume}'")
+    else:
+        print("Pre-trained diffusion model path is missing! (random weights)")
+
+    hfrm_apply = hfrm_params = None
+    if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
+        hfrm = HFRM.from_config(cfg)
+        hfrm_params = hfrm.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+        path = args.hfrm_ckpt or cfg.hfrm.ckpt_path
+        if path:
+            sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+            from scripts.train_diffusion import load_hfrm_params
+            hfrm_params = load_hfrm_params(path, cfg)
+        hfrm_apply = hfrm.apply
+
+    restorer = DiffusiveRestoration(cfg, unet.apply, uparams,
+                                    hfrm_apply, hfrm_params)
+
+    if args.smoke:
+        from wavedm_tpu.data.synthetic import SyntheticPairs
+        src = SyntheticPairs(n_images=args.n_images or 2)
+        samples = ((np.concatenate([c, g], axis=-1), f"synthetic{i}")
+                   for i, (c, g) in enumerate(
+                       src[j] for j in range(len(src))))
+    else:
+        from wavedm_tpu.data.raindrop import RainDrop
+        ds = RainDrop(cfg, jax.process_index(), jax.process_count())
+        samples = ds.eval_samples()
+        if args.n_images:
+            import itertools
+            samples = itertools.islice(samples, args.n_images)
+
+    res = restorer.restore(samples, save_dir=args.image_folder or None)
+    print("psnr all torch", res["psnr_torch"])
+    print("psnr all np", res["psnr_np_y"])
+    print("psnr all GPU", res["psnr_y"])
+    print("ssim all", res["ssim"])
+    print(f"({res['n_images']} images)")
+
+
+if __name__ == "__main__":
+    main()

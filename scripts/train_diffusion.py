@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Train the (wavelet-domain) conditional diffusion model.
+
+TPU-native replacement for the reference launcher pair
+(train_weather_script.py -> torch.distributed.launch -> train_diffusion.py):
+one process drives all local devices through a jax.sharding.Mesh; multi-host
+runs initialize jax.distributed and shard the input pipeline per process.
+
+Usage:
+  python scripts/train_diffusion.py --config wavedm_tpu/configs/raindrop_wavelet.yaml
+  python scripts/train_diffusion.py --config ... --smoke     # synthetic data
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, help="Path to YAML config")
+    p.add_argument("--resume", default="", help="Checkpoint to resume from")
+    p.add_argument("--ckpt-dir", default="", help="Checkpoint output dir "
+                   "(default <data_dir>/ckpts)")
+    p.add_argument("--max-steps", type=int, default=0,
+                   help="Stop after N steps (0 = run n_epochs)")
+    p.add_argument("--smoke", action="store_true",
+                   help="Synthetic data, 20 steps, no mesh requirement")
+    p.add_argument("--hfrm-ckpt", default="",
+                   help="Frozen HFRM checkpoint (needed when "
+                        "use_gt_in_train=False); .pth loads via torch_compat")
+    p.add_argument("--seed", type=int, default=None)
+    return p.parse_args()
+
+
+def load_hfrm_params(path, cfg):
+    if not path:
+        return None
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        from wavedm_tpu.utils.torch_compat import (
+            convert_hfrm_state_dict, load_torch_checkpoint)
+        sd = load_torch_checkpoint(path)
+        return convert_hfrm_state_dict(
+            sd, enc_blk_nums=cfg.hfrm.enc_blk_nums,
+            mid_blk_num=cfg.hfrm.middle_blk_num,
+            dec_blk_nums=cfg.hfrm.dec_blk_nums)
+    from wavedm_tpu.utils.checkpoint import load_checkpoint
+    state, _ = load_checkpoint(path)
+    return state.params
+
+
+def main():
+    args = parse_args()
+    from wavedm_tpu.config import load_config
+    from wavedm_tpu.training.trainer import DiffusionTrainer
+
+    cfg = load_config(args.config)
+    if args.seed is not None:
+        cfg.training.seed = args.seed
+
+    hfrm_params = load_hfrm_params(args.hfrm_ckpt or cfg.hfrm.ckpt_path, cfg)
+    trainer = DiffusionTrainer(cfg, hfrm_params=hfrm_params)
+    if args.resume:
+        trainer.resume(args.resume)
+
+    if args.smoke:
+        import numpy as np
+        from wavedm_tpu.data.synthetic import SyntheticPairs
+        src = SyntheticPairs(n_images=4, seed=cfg.training.seed)
+        p = cfg.data.patch_size
+
+        def batches(epoch):
+            rng = np.random.default_rng(epoch)
+            for _ in range(10):
+                crops = np.empty((cfg.training.patch_n, p, p, 6), np.float32)
+                cond, gt = src[int(rng.integers(0, len(src)))]
+                for k in range(cfg.training.patch_n):
+                    y = rng.integers(0, cond.shape[0] - p)
+                    x = rng.integers(0, cond.shape[1] - p)
+                    crops[k, ..., :3] = cond[y:y + p, x:x + p]
+                    crops[k, ..., 3:] = gt[y:y + p, x:x + p]
+                yield crops
+
+        trainer.fit(batches, max_steps=args.max_steps or 20)
+        print("smoke training done at step", int(trainer.state.step))
+        return
+
+    import jax
+    from wavedm_tpu.data.raindrop import RainDrop
+    dataset = RainDrop(cfg, jax.process_index(), jax.process_count())
+    ckpt_dir = args.ckpt_dir or os.path.join(cfg.data.data_dir, "ckpts")
+    trainer.fit(lambda epoch: dataset.train_batches(epoch),
+                max_steps=args.max_steps or None, ckpt_dir=ckpt_dir)
+
+
+if __name__ == "__main__":
+    main()

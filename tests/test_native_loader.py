@@ -1,0 +1,90 @@
+"""Native C++ data loader tests: decode parity with PIL, crop-batch
+assembly, determinism, and error paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wavedm_tpu.data import native_loader
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(),
+    reason="libwavedm_data.so not built (make -C native/dataloader)")
+
+
+@pytest.fixture(scope="module")
+def image_pair(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    arr = (rng.random((40, 64, 3)) * 255).astype(np.uint8)
+    gt = np.clip(arr.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    paths = {}
+    for name, a in (("rain.png", arr), ("clean.png", gt)):
+        p = str(d / name)
+        Image.fromarray(a).save(p)
+        paths[name] = (p, a)
+    jp = str(d / "rain.jpg")
+    Image.fromarray(arr).save(jp, quality=95)
+    paths["rain.jpg"] = (jp, arr)
+    return paths
+
+
+def test_decode_png_matches_pil(image_pair):
+    path, arr = image_pair["rain.png"]
+    out = native_loader.decode_image(path)
+    assert out.shape == (40, 64, 3)
+    np.testing.assert_allclose(out, arr.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_decode_jpeg_close_to_pil(image_pair):
+    from PIL import Image
+    path, _ = image_pair["rain.jpg"]
+    out = native_loader.decode_image(path)
+    ref = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    assert out.shape == ref.shape
+    # libjpeg IDCT may differ from PIL by a few levels
+    assert np.abs(out - ref).max() < 0.05
+
+
+def test_crop_batch_layout_and_determinism(image_pair):
+    pi, arr_i = image_pair["rain.png"]
+    pg, arr_g = image_pair["clean.png"]
+    b1 = native_loader.make_crop_batch([pi], [pg], patch_n=4, patch=16, seed=7)
+    b2 = native_loader.make_crop_batch([pi], [pg], patch_n=4, patch=16, seed=7)
+    np.testing.assert_array_equal(b1, b2)
+    assert b1.shape == (4, 16, 16, 6)
+    # cond/gt channel split must hold the +10/255 offset everywhere
+    diff = b1[..., 3:] - b1[..., :3]
+    assert (diff >= 0).all()
+    # crops must be actual windows of the source image
+    full = arr_i.astype(np.float32) / 255.0
+    crop0 = b1[0, ..., :3]
+    found = False
+    for y in range(40 - 16 + 1):
+        for x in range(64 - 16 + 1):
+            if np.allclose(full[y:y + 16, x:x + 16], crop0, atol=1e-6):
+                found = True
+                break
+        if found:
+            break
+    assert found, "crop is not a window of the source image"
+
+
+def test_crop_batch_different_seeds_differ(image_pair):
+    pi, _ = image_pair["rain.png"]
+    pg, _ = image_pair["clean.png"]
+    b1 = native_loader.make_crop_batch([pi], [pg], patch_n=4, patch=16, seed=1)
+    b2 = native_loader.make_crop_batch([pi], [pg], patch_n=4, patch=16, seed=2)
+    assert np.abs(b1 - b2).max() > 0
+
+
+def test_missing_file_raises(image_pair):
+    pi, _ = image_pair["rain.png"]
+    with pytest.raises(IOError):
+        native_loader.make_crop_batch(
+            [pi], ["/nonexistent/x.png"], patch_n=1, patch=8, seed=0)
+    with pytest.raises(IOError):
+        native_loader.decode_image("/nonexistent/x.png")

@@ -29,6 +29,19 @@ def _install_reference_pkg():
     pkg = types.ModuleType("models")
     pkg.__path__ = [os.path.join(REFERENCE, "models")]
     sys.modules["models"] = pkg
+    # stub absent optional deps pulled in by reference utils/__init__
+    for name in ("skimage", "skimage.color", "torchvision", "torchvision.utils",
+                 "torchvision.transforms", "torchvision.transforms.functional"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["skimage"].color = sys.modules["skimage.color"]
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"]
+    sys.modules["torchvision.utils"].save_image = lambda *a, **k: None
+    sys.modules["torchvision.utils"].make_grid = lambda *a, **k: None
+    sys.modules["torchvision.transforms.functional"].crop = lambda *a, **k: None
     os.chdir(REFERENCE)  # WaveletTransform loads ./models/wavelet_weights_c2.pkl
 
 
@@ -143,6 +156,44 @@ def make_param_count_golden(torch):
           f"hfrm={n_hfrm} ({n_hfrm/1e6:.2f}M)")
 
 
+def make_sam_golden(torch):
+    """8-direction IRNN SAM (models/sam.py:150-210)."""
+    _install_reference_pkg()
+    from models.sam import SAM
+
+    torch.manual_seed(3)
+    net = SAM(in_channels=64, out_channels=16).eval()
+    x = torch.randn(1, 64, 8, 10)
+    with torch.no_grad():
+        y = net(x)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(OUT, "sam_small.npz"),
+        x=x.numpy(), y=y.numpy(),
+        **{f"sd::{k}": v for k, v in sd.items()},
+    )
+    print("sam_small: out", tuple(y.shape))
+
+
+def make_lap_golden(torch):
+    """Fixed Gaussian Laplacian pyramid decom/recons (models/Lap.py:6-64)."""
+    _install_reference_pkg()
+    from models.Lap import Lap_Pyramid_Conv
+
+    torch.manual_seed(4)
+    lap = Lap_Pyramid_Conv(num_high=3, channels=6)
+    x = torch.randn(1, 6, 40, 56)
+    with torch.no_grad():
+        pyr = lap.pyramid_decom(x)
+        rec = lap.pyramid_recons(pyr)
+    np.savez_compressed(
+        os.path.join(OUT, "lap_small.npz"),
+        x=x.numpy(), rec=rec.numpy(),
+        **{f"pyr{i}": p.numpy() for i, p in enumerate(pyr)},
+    )
+    print("lap_small: levels", [tuple(p.shape) for p in pyr])
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     import torch
@@ -151,6 +202,8 @@ def main():
     make_unet_window_golden(torch)
     make_hfrm_golden(torch)
     make_param_count_golden(torch)
+    make_sam_golden(torch)
+    make_lap_golden(torch)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,2 @@
+from wavedm_tpu.data.raindrop import RainDrop, RainDropDataset
+from wavedm_tpu.data.synthetic import SyntheticPairs

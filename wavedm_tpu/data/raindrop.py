@@ -1,0 +1,190 @@
+"""RainDrop dataset: host-side input pipeline.
+
+Re-designs the reference's ``RainDrop``/``RainDropDataset``
+(datasets/raindrop.py:14-150) for a jit-centric trainer:
+
+- Train mode: each sample draws ``patch_n`` random 256x256 crops from one
+  degraded/clean pair and returns them stacked -> the trainer flattens to a
+  (batch*patch_n, P, P, 6) NHWC array with *static shape* for XLA.
+- Eval mode: images resized to 720x480 (LANCZOS), capped at 1024 on the long
+  side and rounded up to /16 (reference datasets/raindrop.py:129-143).
+- Multi-host sharding: index-striped per process (replaces
+  ``DistributedSampler``), with the epoch folded into the shuffle seed — the
+  reference never calls ``set_epoch`` so every epoch reuses one permutation
+  (SURVEY.md L0 row); we fix that and note it here.
+- A small double-buffered thread prefetcher overlaps PIL decode with TPU step
+  time (the reference leans on torch DataLoader workers; this host has few
+  cores, so the pipeline stays lean).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+from wavedm_tpu.config import Config
+
+
+def _list_pairs(root: str) -> Tuple[List[str], List[str]]:
+    """input/ and gt/ folders; gt names derive from input names by the
+    rain->clean substitution (reference datasets/raindrop.py:59-66)."""
+    inp_dir = os.path.join(root, "input")
+    gt_dir = os.path.join(root, "gt")
+    names = sorted(f for f in os.listdir(inp_dir)
+                   if os.path.isfile(os.path.join(inp_dir, f)))
+    inputs = [os.path.join(inp_dir, f) for f in names]
+    gts = [os.path.join(gt_dir, f.replace("rain", "clean")) for f in names]
+    return inputs, gts
+
+
+def eval_resize_dims(w: int, h: int) -> Tuple[int, int]:
+    """720x480 canonical resize, cap 1024, round up to /16
+    (reference datasets/raindrop.py:129-141)."""
+    w, h = 720, 480
+    if h > w and h > 1024:
+        w, h = int(np.ceil(w * 1024 / h)), 1024
+    elif h <= w and w > 1024:
+        w, h = 1024, int(np.ceil(h * 1024 / w))
+    return int(16 * np.ceil(w / 16.0)), int(16 * np.ceil(h / 16.0))
+
+
+def _load_rgb(path: str) -> "Image.Image":
+    img = Image.open(path)
+    return img.convert("RGB") if img.mode != "RGB" else img
+
+
+class RainDropDataset:
+    """One epoch's worth of samples for one host."""
+
+    def __init__(self, root: str, patch_size: int, patch_n: int,
+                 parse_patches: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        if Image is None:
+            raise RuntimeError("PIL is required for the RainDrop pipeline")
+        self.inputs, self.gts = _list_pairs(root)
+        self.patch_size = patch_size
+        self.patch_n = patch_n
+        self.parse_patches = parse_patches
+        # index-striped per-host sharding (replaces DistributedSampler)
+        self.indices = list(range(process_index, len(self.inputs), process_count))
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def _train_sample(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        inp = _load_rgb(self.inputs[idx])
+        gt = _load_rgb(self.gts[idx])
+        w, h = inp.size
+        p = self.patch_size
+        a_inp = np.asarray(inp, dtype=np.float32) / 255.0
+        a_gt = np.asarray(gt, dtype=np.float32) / 255.0
+        ys = rng.integers(0, max(1, h - p + 1), self.patch_n)
+        xs = rng.integers(0, max(1, w - p + 1), self.patch_n)
+        crops = np.empty((self.patch_n, p, p, 6), dtype=np.float32)
+        for k, (y, x) in enumerate(zip(ys, xs)):
+            crops[k, ..., :3] = a_inp[y:y + p, x:x + p]
+            crops[k, ..., 3:] = a_gt[y:y + p, x:x + p]
+        return crops
+
+    def _eval_sample(self, idx: int) -> Tuple[np.ndarray, str]:
+        inp = _load_rgb(self.inputs[idx])
+        gt = _load_rgb(self.gts[idx])
+        wd, ht = eval_resize_dims(*inp.size)
+        inp = inp.resize((wd, ht), Image.LANCZOS)
+        gt = gt.resize((wd, ht), Image.LANCZOS)
+        pair = np.concatenate([
+            np.asarray(inp, dtype=np.float32) / 255.0,
+            np.asarray(gt, dtype=np.float32) / 255.0,
+        ], axis=-1)
+        img_id = os.path.basename(self.inputs[idx]).rsplit(".", 1)[0]
+        return pair, img_id
+
+    def epoch(self, epoch: int, seed: int,
+              shuffle: bool = True) -> Iterator:
+        """Yield samples for one epoch.  The shuffle seed folds in the epoch
+        number (fixing the reference's repeated-permutation quirk)."""
+        order = np.array(self.indices)
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        for idx in order:
+            if self.parse_patches:
+                rng = np.random.default_rng((seed, epoch, int(idx)))
+                yield self._train_sample(int(idx), rng)
+            else:
+                yield self._eval_sample(int(idx))
+
+
+class _Prefetcher:
+    """Tiny threaded prefetch queue (decode overlaps device step)."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in it:
+                    self.q.put(item)
+            finally:
+                self.q.put(self._done)
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._done:
+                return
+            yield item
+
+
+class RainDrop:
+    """Loader factory mirroring the reference's interface
+    (datasets/raindrop.py:20-50: ``get_loaders(parse_patches, validation)``)."""
+
+    def __init__(self, cfg: Config, process_index: int = 0, process_count: int = 1):
+        self.cfg = cfg
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _dirs(self) -> Tuple[str, str]:
+        base = os.path.join(self.cfg.data.data_dir, "raindrop")
+        return os.path.join(base, "train"), os.path.join(base, "raindrop_test")
+
+    def train_batches(self, epoch: int, batch_size: Optional[int] = None,
+                      prefetch: bool = True) -> Iterator[np.ndarray]:
+        """(batch*patch_n, P, P, 6) float32 batches for one epoch."""
+        train_dir, _ = self._dirs()
+        ds = RainDropDataset(
+            train_dir, self.cfg.data.patch_size, self.cfg.training.patch_n,
+            parse_patches=True, process_index=self.process_index,
+            process_count=self.process_count)
+        bs = batch_size or self.cfg.training.batch_size
+        it = ds.epoch(epoch, self.cfg.training.seed)
+        if prefetch:
+            it = iter(_Prefetcher(it))
+        buf = []
+        for crops in it:
+            buf.append(crops)
+            if len(buf) == bs:
+                yield np.concatenate(buf, axis=0)
+                buf = []
+
+    def eval_samples(self) -> Iterator[Tuple[np.ndarray, str]]:
+        """((H, W, 6) pair, image_id) for the eval split."""
+        _, test_dir = self._dirs()
+        ds = RainDropDataset(test_dir, self.cfg.data.patch_size,
+                             self.cfg.training.patch_n, parse_patches=False,
+                             process_index=self.process_index,
+                             process_count=self.process_count)
+        yield from ds.epoch(0, 0, shuffle=False)

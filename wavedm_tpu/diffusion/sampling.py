@@ -1,0 +1,188 @@
+"""DDIM sampling: whole-image and overlapping-patch tiled variants.
+
+TPU re-design of the reference samplers (utils/sampling.py:23-107 and the
+wavelet-aware copy at models/ddm_wavelet.py:437-506):
+
+- The 25-step reverse chain compiles to ONE ``lax.scan`` -- the reference runs
+  a Python loop that round-trips xs/x0_preds to host memory every step
+  (utils/sampling.py:99,104); here the whole chain stays in HBM.
+- The overlapping-patch engine gathers ALL patches with one XLA gather,
+  runs the UNet over the full patch batch (the reference micro-batches 8
+  patches per CUDA launch, models/ddm_wavelet.py:465-479), and scatter-adds
+  the noise estimates onto a precomputed static count mask.
+- The corner grid is static Python data (shape-dependent but deterministic,
+  reference ``overlapping_grid_indices`` models/restoration.py:187-196), so
+  everything inside jit has static shapes.
+
+Semantics preserved exactly: eta=0 default, c1/c2 coefficients, the
+``begin_from_noise`` knob, and the full x0-prediction trajectory is returned
+so callers can select ``x0_preds[-5]`` (models/restoration.py:108).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavedm_tpu.diffusion.schedules import alpha_bars
+
+
+def overlapping_grid_corners(h: int, w: int, p: int, r: int) -> List[Tuple[int, int]]:
+    """Static overlap grid: stride-r corners covering (h, w) with p-sized
+    patches, plus flush-right/bottom rows (reference
+    models/restoration.py:187-196)."""
+    hs = list(range(0, h - p + 1, r))
+    ws = list(range(0, w - p + 1, r))
+    if hs[-1] + p < h:
+        hs.append(h - p)
+    if ws[-1] + p < w:
+        ws.append(w - p)
+    return [(i, j) for i in hs for j in ws]
+
+
+def _patch_indices(corners: Sequence[Tuple[int, int]], p: int):
+    """(K, p) row and (K, p) col gather indices for the static corner set."""
+    c = np.asarray(corners, dtype=np.int32)
+    rows = c[:, 0:1] + np.arange(p, dtype=np.int32)[None, :]
+    cols = c[:, 1:2] + np.arange(p, dtype=np.int32)[None, :]
+    return rows, cols
+
+
+def _count_mask(corners, h: int, w: int, p: int) -> np.ndarray:
+    mask = np.zeros((h, w), dtype=np.float32)
+    for (i, j) in corners:
+        mask[i:i + p, j:j + p] += 1.0
+    return mask
+
+
+def _ddim_coeffs(betas: jax.Array, seq: np.ndarray, eta: float):
+    """Per-step (at, at_next, c1, c2) for the reversed DDIM sequence."""
+    abar = alpha_bars(betas)
+    seq = np.asarray(seq)
+    t_cur = seq[::-1].copy()                     # descending
+    t_next = np.concatenate([[-1], seq[:-1]])[::-1].copy()
+    at = abar[t_cur + 1]
+    at_next = abar[t_next + 1]
+    c1 = eta * jnp.sqrt((1 - at / at_next) * (1 - at_next) / (1 - at))
+    c2 = jnp.sqrt((1 - at_next) - c1 ** 2)
+    return (jnp.asarray(t_cur, jnp.float32), at.astype(jnp.float32),
+            at_next.astype(jnp.float32), c1.astype(jnp.float32),
+            c2.astype(jnp.float32))
+
+
+def ddim_sample(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x: jax.Array,
+    x_cond: jax.Array,
+    seq: np.ndarray,
+    betas: jax.Array,
+    *,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Whole-image DDIM (reference ``generalized_steps``,
+    utils/sampling.py:23-44) as one lax.scan.
+
+    Returns (x_final, x0_preds) with x0_preds stacked over steps in
+    chronological order (index -1 = last step's x0 estimate).
+    """
+    n = x.shape[0]
+    t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, per_step):
+        xt, key = carry
+        t, a, a_nx, cc1, cc2 = per_step
+        et = model_fn(jnp.concatenate([x_cond, xt], axis=-1),
+                      jnp.full((n,), t))
+        x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, xt.shape, xt.dtype) if eta > 0 else 0.0
+        xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
+        return (xt_next, key), x0_t
+
+    (x_final, _), x0_preds = jax.lax.scan(
+        step, (x, rng), (t_cur, at, at_next, c1, c2))
+    return x_final, x0_preds
+
+
+def make_overlapping_sampler(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    *,
+    image_shape: Tuple[int, int],
+    patch_size: int,
+    grid_r: int,
+    seq: np.ndarray,
+    betas: jax.Array,
+    pred_channels: int,
+    eta: float = 0.0,
+    use_other: bool = False,
+    patch_micro_batch: int = 0,
+):
+    """Build the jitted tiled DDIM sampler for a fixed eval geometry.
+
+    The returned function maps
+      (x_init (1,H,W,pred), x_cond (1,H,W,Cc), x_other (1,H,W,Co)|None, rng)
+      -> (x_final, x0_preds (T,1,H,W,pred))
+    running the full chain on-device.  The reference equivalent is
+    ``generalized_steps_overlapping`` (models/ddm_wavelet.py:437-506).
+    """
+    h, w = image_shape
+    p = patch_size
+    corners = overlapping_grid_corners(h, w, p, grid_r)
+    K = len(corners)
+    rows, cols = _patch_indices(corners, p)
+    rows_j = jnp.asarray(rows)
+    cols_j = jnp.asarray(cols)
+    counts = jnp.asarray(_count_mask(corners, h, w, p))[None, :, :, None]
+    t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
+
+    def gather_patches(img):
+        # (1, H, W, C) -> (K, p, p, C)
+        return img[0][rows_j[:, :, None], cols_j[:, None, :], :]
+
+    def apply_model(patches, t):
+        # patches: (K, p, p, Cin) -> eps (K, p, p, pred)
+        if patch_micro_batch and K > patch_micro_batch:
+            mb = patch_micro_batch
+            pad = (-K) % mb
+            padded = jnp.pad(patches, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            chunks = padded.reshape(-1, mb, p, p, patches.shape[-1])
+            out = jax.lax.map(
+                lambda ch: model_fn(ch, jnp.full((mb,), t)), chunks)
+            return out.reshape(-1, p, p, pred_channels)[:K]
+        return model_fn(patches, jnp.full((K,), t))
+
+    def sample(x_init, x_cond, x_other=None, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        cond_p = gather_patches(x_cond)              # static across steps
+        other_p = gather_patches(x_other) if use_other else None
+
+        def step(carry, per_step):
+            xt, key = carry
+            t, a, a_nx, cc1, cc2 = per_step
+            xt_p = gather_patches(xt)
+            inp = [cond_p, xt_p] + ([other_p] if use_other else [])
+            et_p = apply_model(jnp.concatenate(inp, axis=-1), t)
+            # scatter-add the K noise estimates, normalize by coverage
+            acc = jnp.zeros((h, w, pred_channels), et_p.dtype)
+            acc = acc.at[rows_j[:, :, None], cols_j[:, None, :], :].add(et_p)
+            et = acc[None] / counts
+            x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+            key, sub = jax.random.split(key)
+            noise = (jax.random.normal(sub, xt.shape, xt.dtype)
+                     if eta > 0 else 0.0)
+            xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
+            return (xt_next, key), x0_t
+
+        (x_final, _), x0_preds = jax.lax.scan(
+            step, (x_init, rng), (t_cur, at, at_next, c1, c2))
+        return x_final, x0_preds
+
+    return jax.jit(sample)

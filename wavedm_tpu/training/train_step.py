@@ -1,0 +1,168 @@
+"""The jitted diffusion train step.
+
+One pure function per step: batch prep (domain transform) -> antithetic t /
+noise draw -> eps-loss -> grad -> Adam -> EMA, compiled once and sharded over
+the data axis of a `Mesh`.  Replaces the reference's per-step Python loop body
+(models/ddm_wavelet.py:210-273) where wavelet dec, HFRM forward, loss,
+backward, DDP allreduce, and EMA ran as separate CUDA launches.
+
+Domain transforms (the ddm/ddm_wavelet duplication in the reference collapses
+into this parameterisation):
+  pixel    -- identity (reference models/ddm.py path)
+  wavelet  -- 2-level Haar packet on cond and target
+              (reference models/ddm_wavelet.py:192-198, 227-250)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wavedm_tpu.config import Config
+from wavedm_tpu.diffusion.ema import ema_update
+from wavedm_tpu.diffusion.loss import antithetic_timesteps, noise_estimation_loss
+from wavedm_tpu.diffusion.schedules import get_beta_schedule
+from wavedm_tpu.ops.wavelet import wavelet_dec
+from wavedm_tpu.parallel.mesh import DATA_AXIS
+from wavedm_tpu.training.state import TrainState, make_optimizer
+
+
+def data_transform(x: jax.Array) -> jax.Array:
+    """[0,1] -> [-1,1] (reference models/ddm_wavelet.py:28-29)."""
+    return 2.0 * x - 1.0
+
+
+def inverse_data_transform(x: jax.Array) -> jax.Array:
+    """[-1,1] -> [0,1] clamped (reference models/ddm_wavelet.py:32-33)."""
+    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+
+def prepare_pixel_batch(x: jax.Array, cfg: Config) -> jax.Array:
+    """(B, P, P, 6) [cond|gt] in [0,1] -> training tensor [cond | target]."""
+    return data_transform(x)
+
+
+def prepare_wavelet_batch(
+    x: jax.Array,
+    cfg: Config,
+    hfrm_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> jax.Array:
+    """(B, P, P, 6) pixel crops -> (B, P/4, P/4, 96) wavelet training tensor
+    [cond(48) | gt-LL(pred) | HF(45)].
+
+    With ``use_gt_in_train`` the HF conditioning channels come from the
+    ground-truth wavelet coefficients (reference models/ddm_wavelet.py:239-243);
+    otherwise from the frozen HFRM restorer output
+    (models/ddm_wavelet.py:233-236, 245-246) -- pass ``hfrm_fn`` for that path.
+    """
+    m = cfg.model
+    x_all = data_transform(x)
+    cond_w = wavelet_dec(x_all[..., :3])
+    gt_w = wavelet_dec(x_all[..., 3:6])
+    if not m.use_other_channels:
+        return jnp.concatenate([cond_w, gt_w[..., :m.pred_channels]], axis=-1)
+    if m.use_gt_in_train:
+        hf = gt_w[..., m.other_channels_begin:]
+    else:
+        if hfrm_fn is None:
+            raise ValueError("use_gt_in_train=False requires an hfrm_fn")
+        restored = hfrm_fn(x[..., :3])  # HFRM runs on [0,1] pixels
+        hf = wavelet_dec(data_transform(restored))[..., m.other_channels_begin:]
+    return jnp.concatenate(
+        [cond_w, gt_w[..., :m.pred_channels], hf], axis=-1)
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array          # eps loss (sum-pixels, mean-batch)
+    mse_loss: jax.Array      # x0 MSE
+    loss_per_pixel: jax.Array
+    grad_norm: jax.Array
+
+
+def make_train_step(
+    cfg: Config,
+    model_apply: Callable,
+    mesh: Optional[Mesh] = None,
+    hfrm_fn: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step: (TrainState, batch) -> (TrainState, StepMetrics).
+
+    batch: (B, P, P, 6) float32 in [0,1], leading axis sharded over the data
+    mesh axis when ``mesh`` is given.
+    """
+    m = cfg.model
+    betas = jnp.asarray(get_beta_schedule(
+        cfg.diffusion.beta_schedule,
+        beta_start=cfg.diffusion.beta_start,
+        beta_end=cfg.diffusion.beta_end,
+        num_diffusion_timesteps=cfg.diffusion.num_diffusion_timesteps,
+    ), dtype=jnp.float32)
+    num_timesteps = cfg.diffusion.num_diffusion_timesteps
+    tx = make_optimizer(cfg.optim)
+    mu = cfg.model.ema_rate
+    num_of_pixel = m.pred_channels * cfg.data.image_size ** 2
+    inp_channels = m.in_channels if cfg.data.wavelet else cfg.data.channels
+
+    def prepare(x):
+        if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
+            return prepare_wavelet_batch(x, cfg, hfrm_fn)
+        return prepare_pixel_batch(x, cfg)
+
+    def loss_fn(params, x_for_pred, t, e):
+        out = noise_estimation_loss(
+            lambda xx, tt: model_apply({"params": params}, xx, tt),
+            x_for_pred, t, e, betas,
+            inp_channels=inp_channels,
+            pred_channels=m.pred_channels,
+            use_other_channels=m.use_other_channels,
+        )
+        main = out.mse_loss if cfg.training.use_mse else out.simple_loss
+        return main, out
+
+    def step_fn(state: TrainState, batch: jax.Array):
+        rng, key_t, key_e = jax.random.split(state.rng, 3)
+        x_for_pred = prepare(batch)
+        n = x_for_pred.shape[0]
+        t = antithetic_timesteps(key_t, n, num_timesteps)
+        e = jax.random.normal(
+            key_e, x_for_pred.shape[:3] + (m.pred_channels,), jnp.float32)
+
+        (main, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x_for_pred, t, e)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        ema = ema_update(state.ema, params, mu)
+
+        new_state = TrainState(
+            params=params, opt_state=opt_state, ema=ema,
+            step=state.step + 1, rng=rng)
+        metrics = StepMetrics(
+            loss=out.simple_loss,
+            mse_loss=out.mse_loss,
+            loss_per_pixel=out.simple_loss / num_of_pixel,
+            grad_norm=jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                                   for g in jax.tree_util.tree_leaves(grads))),
+        )
+        return new_state, metrics
+
+    if mesh is None or mesh.size == 1:
+        # A 1-device mesh gains nothing from explicit shardings (and the
+        # axon TPU relay mishandles them); plain jit is identical there.
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    # Batch is sharded over the data axis; the state keeps whatever sharding
+    # it was created with (replicated, or FSDP via fsdp_param_shardings), and
+    # XLA inserts the grad-allreduce / param-allgather collectives.
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, data_sh),
+        donate_argnums=(0,) if donate else (),
+    )
