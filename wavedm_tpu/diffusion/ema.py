@@ -20,8 +20,13 @@ REFERENCE_MU = 0.9999
 
 
 def ema_init(params):
-    """Shadow initialised to a copy of params (EMAHelper.register)."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """Shadow initialised to a COPY of params (EMAHelper.register).
+
+    Must be a real copy, not an alias: with jit buffer donation an aliased
+    shadow would donate the same buffer twice ("Attempt to donate the same
+    buffer twice in Execute()").
+    """
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
 def ema_update(shadow, params, mu: float = REFERENCE_MU):

@@ -17,7 +17,7 @@ TPU notes: channels-last keeps the 1x1 convs as MXU matmuls; the depthwise
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,12 +52,21 @@ def simple_gate(x: jax.Array) -> jax.Array:
 
 class ChannelAttn(nn.Module):
     """Global-average-pool -> 1x1 conv -> elementwise scale
-    (reference: models/arch.py:143-155)."""
+    (reference: models/arch.py:143-155).  With ``local_kernel`` set, the
+    global pool becomes a TLC windowed average (models/arch.py:46-130;
+    see wavedm_tpu/ops/tlc.py)."""
+    tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        if self.tlc is not None:
+            from wavedm_tpu.ops.tlc import local_avg_pool, tlc_kernel
+            base_hw, train_hw = self.tlc
+            k = tlc_kernel((x.shape[1], x.shape[2]), train_hw, base_hw)
+            s = local_avg_pool(x, k)
+        else:
+            s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(c, (1, 1), name="chan_conv")(s)
         return x * s
 
@@ -65,6 +74,7 @@ class ChannelAttn(nn.Module):
 class HFRMBlock(nn.Module):
     """One NAFNet-style residual block (reference ResidualBlock,
     models/arch.py:158-204)."""
+    tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -75,7 +85,7 @@ class HFRMBlock(nn.Module):
         h = nn.Conv(dim * 2, (3, 3), padding="SAME",
                     feature_group_count=dim * 2, name="conv2")(h)
         h = simple_gate(h)
-        h = ChannelAttn(name="channel_attn")(h)
+        h = ChannelAttn(self.tlc, name="channel_attn")(h)
         h = nn.Conv(dim, (1, 1), name="conv3")(h)
         beta = self.param("beta", nn.initializers.zeros, (dim,))
         y = x + h * beta
@@ -106,6 +116,8 @@ class HFRM(nn.Module):
     mid_blk_num: int = 6
     enc_blk_nums: Tuple[int, ...] = (2, 2, 2, 4)
     dec_blk_nums: Tuple[int, ...] = (2, 2, 2, 2)
+    # TLC (test-time local converter): (base_hw, train_hw); None = global pool
+    tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
     @classmethod
     def from_config(cls, cfg: Config) -> "HFRM":
@@ -132,14 +144,14 @@ class HFRM(nn.Module):
         skips = []
         for li, num in enumerate(self.enc_blk_nums):
             for bi in range(num):
-                x = HFRMBlock(name=f"enc_{li}_{bi}")(x)
+                x = HFRMBlock(self.tlc, name=f"enc_{li}_{bi}")(x)
             skips.append(x)
             x = nn.Conv(dim * 2, (2, 2), strides=(2, 2), padding="VALID",
                         name=f"down_{li}")(x)
             dim *= 2
 
         for bi in range(self.mid_blk_num):
-            x = HFRMBlock(name=f"mid_{bi}")(x)
+            x = HFRMBlock(self.tlc, name=f"mid_{bi}")(x)
 
         for li, num in enumerate(self.dec_blk_nums):
             x = nn.Conv(dim * 2, (1, 1), use_bias=False, name=f"up_{li}")(x)
@@ -147,7 +159,7 @@ class HFRM(nn.Module):
             dim //= 2
             x = x + skips[-(li + 1)]
             for bi in range(num):
-                x = HFRMBlock(name=f"dec_{li}_{bi}")(x)
+                x = HFRMBlock(self.tlc, name=f"dec_{li}_{bi}")(x)
 
         x = nn.Conv(self.in_channel, (3, 3), padding="SAME", name="conv_out")(x)
         return x[:, :h_in, :w_in, :] + inp

@@ -57,7 +57,7 @@ class HFRMTrainer:
         self.tx = optax.adam(hfrm_lr_schedule(cfg.hfrm.lr), b1=0.5, b2=0.999)
         self.state = TrainState(
             params=params, opt_state=self.tx.init(params),
-            ema=params,  # unused for HFRM; keeps TrainState uniform
+            ema={},  # HFRM keeps no EMA (an alias of params would double-donate)
             step=jnp.zeros((), jnp.int32), rng=key)
         self.best_psnr = cfg.hfrm.best_psnr_init
         self.epoch = 0

@@ -4,23 +4,28 @@ Replaces the reference's torch.save dict checkpoints
 ({epoch, step, state_dict, optimizer, ema_helper, params, config} ->
 <data_dir>/ckpts/<name>.pth.tar; models/ddm_wavelet.py:282-292,
 utils/logging.py:17-31) with Orbax pytree checkpoints carrying the same
-logical payload.  Multi-host: only process 0 writes (the reference's
-rank-0 gating).
+logical payload: array state (params/opt-state/EMA/step/rng) goes through
+Orbax; scalar metadata (epoch, user extras) rides a JSON side file so
+restores with a state template never hit tree-structure mismatches.
+Multi-host: only process 0 writes (the reference's rank-0 gating).
 
-Reference-trained ``.pth.tar`` files can be imported through
+Reference-trained ``.pth.tar`` files import through
 wavedm_tpu.utils.torch_compat instead.
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 from wavedm_tpu.training.state import TrainState
+
+_META_FILE = "wavedm_meta.json"
 
 
 def _ckpt_dir(path: str) -> str:
@@ -29,7 +34,7 @@ def _ckpt_dir(path: str) -> str:
 
 def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0,
                     extra: Optional[Dict[str, Any]] = None) -> None:
-    """Write {params, opt_state, ema, step, rng, epoch, extra} to ``path``."""
+    """Write array state + {epoch, **extra} metadata to ``path``."""
     if jax.process_index() != 0:
         return
     payload = {
@@ -38,13 +43,18 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0,
         "ema": state.ema,
         "step": state.step,
         "rng": state.rng,
-        "meta": {"epoch": np.int64(epoch), **(extra or {})},
     }
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_ckpt_dir(path), payload, force=True)
+    meta = {"epoch": int(epoch)}
+    for k, v in (extra or {}).items():
+        meta[k] = float(v) if isinstance(v, (int, float, np.floating)) else v
+    with open(os.path.join(_ckpt_dir(path), _META_FILE), "w") as f:
+        json.dump(meta, f)
 
 
-def load_checkpoint(path: str, state_template: Optional[TrainState] = None):
+def load_checkpoint(path: str, state_template: Optional[TrainState] = None
+                    ) -> Tuple[TrainState, Dict[str, Any]]:
     """Load a checkpoint.  With a template, arrays are restored with the
     template's shardings/dtypes; returns (TrainState, meta)."""
     ckptr = ocp.PyTreeCheckpointer()
@@ -57,10 +67,14 @@ def load_checkpoint(path: str, state_template: Optional[TrainState] = None):
             "ema": state_template.ema,
             "step": state_template.step,
             "rng": state_template.rng,
-            "meta": None,
         }
         payload = ckptr.restore(_ckpt_dir(path), item=template)
     state = TrainState(
         params=payload["params"], opt_state=payload["opt_state"],
         ema=payload["ema"], step=payload["step"], rng=payload["rng"])
-    return state, payload.get("meta") or {}
+    meta_path = os.path.join(_ckpt_dir(path), _META_FILE)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
