@@ -87,12 +87,37 @@ def main():
         print("smoke training done at step", int(trainer.state.step))
         return
 
+    import itertools
+
     import jax
     from wavedm_tpu.data.raindrop import RainDrop
     dataset = RainDrop(cfg, jax.process_index(), jax.process_count())
     ckpt_dir = args.ckpt_dir or os.path.join(cfg.data.data_dir, "ckpts")
+
+    def validate(state, step):
+        # in-train restoration snapshot on a couple of val images, process 0
+        # (reference models/ddm_wavelet.py:275-280)
+        from wavedm_tpu.inference.restoration import DiffusiveRestoration
+        from wavedm_tpu.models.hfrm import HFRM
+
+        hfrm_apply = None
+        hp = hfrm_params
+        if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
+            if hp is None:
+                print(f"[validate @ {step}] skipped: no HFRM checkpoint")
+                return
+            hfrm_apply = HFRM.from_config(cfg).apply
+        restorer = DiffusiveRestoration(
+            cfg, trainer.model.apply, state.params, hfrm_apply, hp)
+        res = restorer.restore(
+            itertools.islice(dataset.eval_samples(), 2),
+            save_dir=os.path.join("results", "images", f"step{step}"))
+        print(f"[validate @ {step}] psnr {res['psnr_torch']:.3f} "
+              f"ssim {res['ssim']:.4f}")
+
     trainer.fit(lambda epoch: dataset.train_batches(epoch),
-                max_steps=args.max_steps or None, ckpt_dir=ckpt_dir)
+                max_steps=args.max_steps or None, ckpt_dir=ckpt_dir,
+                validate_fn=validate)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ class DataConfig:
     use_window: bool = False      # window (pixel-shuffle) reshaping in the UNet
     window_size: int = 2
     begin_from_noise: bool = True # start DDIM from pure noise (vs noised cond)
+    use_fft: bool = False         # append FFT amp/phase to the conditioning
     channels: int = 3             # pixel channels (pixel-space path)
     num_workers: int = 8
     data_dir: str = "./data"

@@ -31,6 +31,14 @@ import numpy as np
 from wavedm_tpu.diffusion.schedules import alpha_bars
 
 
+def fft_condition(cond: jax.Array) -> jax.Array:
+    """Append FFT amplitude and phase channels to the conditioning
+    (reference ``use_FFT``, utils/sampling.py:76-79 / models/ddm.py:241):
+    cond -> [cond | |FFT2(cond)| | angle(FFT2(cond))], tripling channels."""
+    f = jnp.fft.fft2(cond, axes=(1, 2))
+    return jnp.concatenate([cond, jnp.abs(f), jnp.angle(f)], axis=-1)
+
+
 def overlapping_grid_corners(h: int, w: int, p: int, r: int) -> List[Tuple[int, int]]:
     """Static overlap grid: stride-r corners covering (h, w) with p-sized
     patches, plus flush-right/bottom rows (reference
@@ -122,6 +130,7 @@ def make_overlapping_sampler(
     pred_channels: int,
     eta: float = 0.0,
     use_other: bool = False,
+    use_fft: bool = False,
     patch_micro_batch: int = 0,
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
@@ -162,6 +171,9 @@ def make_overlapping_sampler(
         if rng is None:
             rng = jax.random.PRNGKey(0)
         cond_p = gather_patches(x_cond)              # static across steps
+        if use_fft:
+            # per-patch FFT conditioning (reference utils/sampling.py:76-79)
+            cond_p = fft_condition(cond_p)
         other_p = gather_patches(x_other) if use_other else None
 
         def step(carry, per_step):

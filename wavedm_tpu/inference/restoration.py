@@ -130,6 +130,7 @@ class DiffusiveRestoration:
             pred_channels=cfg.model.pred_channels,
             eta=cfg.sampling.eta,
             use_other=False,
+            use_fft=cfg.data.use_fft,
             patch_micro_batch=cfg.sampling.patch_micro_batch,
         )
         x0_idx = cfg.sampling.x0_pred_index

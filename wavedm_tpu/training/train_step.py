@@ -42,8 +42,15 @@ def inverse_data_transform(x: jax.Array) -> jax.Array:
 
 
 def prepare_pixel_batch(x: jax.Array, cfg: Config) -> jax.Array:
-    """(B, P, P, 6) [cond|gt] in [0,1] -> training tensor [cond | target]."""
-    return data_transform(x)
+    """(B, P, P, 6) [cond|gt] in [0,1] -> training tensor [cond | target];
+    with ``data.use_fft`` the conditioning is tripled to
+    [cond | FFT amp | FFT phase] (reference models/ddm.py:241)."""
+    x = data_transform(x)
+    if cfg.data.use_fft:
+        from wavedm_tpu.diffusion.sampling import fft_condition
+        c = cfg.data.channels
+        return jnp.concatenate([fft_condition(x[..., :c]), x[..., c:]], axis=-1)
+    return x
 
 
 def prepare_wavelet_batch(
@@ -106,7 +113,10 @@ def make_train_step(
     tx = make_optimizer(cfg.optim)
     mu = cfg.model.ema_rate
     num_of_pixel = m.pred_channels * cfg.data.image_size ** 2
-    inp_channels = m.in_channels if cfg.data.wavelet else cfg.data.channels
+    if cfg.data.wavelet:
+        inp_channels = m.in_channels
+    else:
+        inp_channels = cfg.data.channels * (3 if cfg.data.use_fft else 1)
 
     def prepare(x):
         if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
