@@ -122,7 +122,10 @@ def main():
             "reference_style_ms_per_image": round(ref_dt * 1000, 1),
             "baseline": "same math, reference execution strategy (host-loop "
                         "DDIM, 8-patch micro-batches, per-step host sync) on "
-                        "the same chip",
+                        "the same chip; NOTE on tunneled-TPU setups the "
+                        "baseline additionally pays a network round-trip per "
+                        "dispatch, which inflates the ratio beyond the pure "
+                        "fusion win",
             "n_patches": len(corners),
             "backend": jax.default_backend(),
         },

@@ -172,3 +172,21 @@ def test_use_other_channels_path():
     xf, _ = s(jnp.ones((1, h, w, 1)), jnp.ones((1, h, w, 2)),
               jnp.ones((1, h, w, 1)))
     assert np.isfinite(np.asarray(xf)).all()
+
+
+def test_step_mode_matches_scan_mode():
+    h, w, p, r = 24, 32, 16, 8
+    seq = ddim_timesteps(100, 4)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    scan = make_overlapping_sampler(
+        _overlap_model, image_shape=(h, w), patch_size=p, grid_r=r,
+        seq=seq, betas=BETAS, pred_channels=1, jit_mode="scan")
+    stepped = make_overlapping_sampler(
+        _overlap_model, image_shape=(h, w), patch_size=p, grid_r=r,
+        seq=seq, betas=BETAS, pred_channels=1, jit_mode="step")
+    xf1, x0s1 = scan(x0, cond)
+    xf2, x0s2 = stepped(x0, cond)
+    np.testing.assert_allclose(np.asarray(xf1), np.asarray(xf2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0s1), np.asarray(x0s2), atol=1e-5)

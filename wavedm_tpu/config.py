@@ -136,12 +136,16 @@ class SamplingConfig:
     # for PSNR, so it is an explicit knob here.
     x0_pred_index: int = -5
     patch_micro_batch: int = 0    # 0 = all patches in one vmapped forward
+    jit_mode: str = "scan"        # "scan": whole chain one program;
+                                  # "step": one program per DDIM step
 
     def validate(self) -> None:
         if self.sampling_timesteps < 1:
             raise ConfigError("sampling_timesteps must be >= 1")
         if self.grid_r < 1:
             raise ConfigError("grid_r must be >= 1")
+        if self.jit_mode not in ("scan", "step"):
+            raise ConfigError("jit_mode must be 'scan' or 'step'")
 
 
 @dataclass

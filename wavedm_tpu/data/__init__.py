@@ -1,2 +1,3 @@
 from wavedm_tpu.data.raindrop import RainDrop, RainDropDataset
+from wavedm_tpu.data.folder import PairedImageFolder
 from wavedm_tpu.data.synthetic import SyntheticPairs

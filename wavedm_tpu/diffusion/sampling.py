@@ -132,6 +132,7 @@ def make_overlapping_sampler(
     use_other: bool = False,
     use_fft: bool = False,
     patch_micro_batch: int = 0,
+    jit_mode: str = "scan",
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
 
@@ -145,56 +146,107 @@ def make_overlapping_sampler(
     p = patch_size
     corners = overlapping_grid_corners(h, w, p, grid_r)
     K = len(corners)
-    rows, cols = _patch_indices(corners, p)
-    rows_j = jnp.asarray(rows)
-    cols_j = jnp.asarray(cols)
-    counts = jnp.asarray(_count_mask(corners, h, w, p))[None, :, :, None]
+    # Corner/count tensors are passed as ARGUMENTS into the jitted programs
+    # (bound below) and the (K, p) index grids are rebuilt inside with iota:
+    # closing over them would embed multi-MB gather/scatter index literals in
+    # the HLO (enough to overflow proxied compile services).
+    corners_np = jnp.asarray(np.asarray(corners, np.int32))
+    counts_np = jnp.asarray(_count_mask(corners, h, w, p))[None, :, :, None]
     t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
 
-    def gather_patches(img):
+    def _index_grids(corners_a):
+        ar = jnp.arange(p, dtype=jnp.int32)
+        rows_j = corners_a[:, 0:1] + ar[None, :]
+        cols_j = corners_a[:, 1:2] + ar[None, :]
+        return rows_j, cols_j
+
+    def gather_patches(img, corners_a):
         # (1, H, W, C) -> (K, p, p, C)
+        rows_j, cols_j = _index_grids(corners_a)
         return img[0][rows_j[:, :, None], cols_j[:, None, :], :]
 
-    def apply_model(patches, t):
+    def apply_model(params, patches, t):
         # patches: (K, p, p, Cin) -> eps (K, p, p, pred)
+        call = (model_fn if params is None
+                else functools.partial(model_fn, params))
         if patch_micro_batch and K > patch_micro_batch:
             mb = patch_micro_batch
             pad = (-K) % mb
             padded = jnp.pad(patches, ((0, pad), (0, 0), (0, 0), (0, 0)))
             chunks = padded.reshape(-1, mb, p, p, patches.shape[-1])
             out = jax.lax.map(
-                lambda ch: model_fn(ch, jnp.full((mb,), t)), chunks)
+                lambda ch: call(ch, jnp.full((mb,), t)), chunks)
             return out.reshape(-1, p, p, pred_channels)[:K]
-        return model_fn(patches, jnp.full((K,), t))
+        return call(patches, jnp.full((K,), t))
 
-    def sample(x_init, x_cond, x_other=None, rng=None):
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        cond_p = gather_patches(x_cond)              # static across steps
+    def step(params, carry, per_step, cond_p, other_p, corners_a, counts_a):
+        xt, key = carry
+        t, a, a_nx, cc1, cc2 = per_step
+        xt_p = gather_patches(xt, corners_a)
+        inp = [cond_p, xt_p] + ([other_p] if use_other else [])
+        et_p = apply_model(params, jnp.concatenate(inp, axis=-1), t)
+        # scatter-add the K noise estimates, normalize by coverage
+        rows_j, cols_j = _index_grids(corners_a)
+        acc = jnp.zeros((h, w, pred_channels), et_p.dtype)
+        acc = acc.at[rows_j[:, :, None], cols_j[:, None, :], :].add(et_p)
+        et = acc[None] / counts_a
+        x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+        key, sub = jax.random.split(key)
+        noise = (jax.random.normal(sub, xt.shape, xt.dtype)
+                 if eta > 0 else 0.0)
+        xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
+        return (xt_next, key), x0_t
+
+    def prep_cond(x_cond, x_other, corners_a):
+        cond_p = gather_patches(x_cond, corners_a)   # static across steps
         if use_fft:
             # per-patch FFT conditioning (reference utils/sampling.py:76-79)
             cond_p = fft_condition(cond_p)
-        other_p = gather_patches(x_other) if use_other else None
+        other_p = gather_patches(x_other, corners_a) if use_other else None
+        return cond_p, other_p
 
-        def step(carry, per_step):
-            xt, key = carry
-            t, a, a_nx, cc1, cc2 = per_step
-            xt_p = gather_patches(xt)
-            inp = [cond_p, xt_p] + ([other_p] if use_other else [])
-            et_p = apply_model(jnp.concatenate(inp, axis=-1), t)
-            # scatter-add the K noise estimates, normalize by coverage
-            acc = jnp.zeros((h, w, pred_channels), et_p.dtype)
-            acc = acc.at[rows_j[:, :, None], cols_j[:, None, :], :].add(et_p)
-            et = acc[None] / counts
-            x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
-            key, sub = jax.random.split(key)
-            noise = (jax.random.normal(sub, xt.shape, xt.dtype)
-                     if eta > 0 else 0.0)
-            xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
-            return (xt_next, key), x0_t
+    if jit_mode == "scan":
+        # one compiled program for the whole reverse chain
+        @jax.jit
+        def sample_scan(params, x_init, x_cond, x_other, rng,
+                        corners_a, counts_a):
+            cond_p, other_p = prep_cond(x_cond, x_other, corners_a)
+            (x_final, _), x0_preds = jax.lax.scan(
+                lambda c, per: step(params, c, per, cond_p, other_p,
+                                    corners_a, counts_a),
+                (x_init, rng), (t_cur, at, at_next, c1, c2))
+            return x_final, x0_preds
 
-        (x_final, _), x0_preds = jax.lax.scan(
-            step, (x_init, rng), (t_cur, at, at_next, c1, c2))
-        return x_final, x0_preds
+        def sample(x_init, x_cond, x_other=None, rng=None,
+                   params=None):
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            return sample_scan(params, x_init, x_cond, x_other, rng,
+                               corners_np, counts_np)
 
-    return jax.jit(sample)
+        return sample
+
+    if jit_mode != "step":
+        raise ValueError(f"jit_mode must be 'scan' or 'step', got {jit_mode!r}")
+
+    # segmented mode: one compiled program PER STEP, Python-driven chain.
+    # Same math; trades ~T dispatch overheads for a much smaller compiled
+    # program (needed where a compile-size cap bites, e.g. proxied compilers).
+    prep_jit = jax.jit(prep_cond)
+    step_jit = jax.jit(step)
+
+    def sample_segmented(x_init, x_cond, x_other=None, rng=None,
+                         params=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        cond_p, other_p = prep_jit(x_cond, x_other, corners_np)
+        carry = (x_init, rng)
+        x0s = []
+        for i in range(len(t_cur)):
+            per_step = (t_cur[i], at[i], at_next[i], c1[i], c2[i])
+            carry, x0_t = step_jit(params, carry, per_step, cond_p, other_p,
+                                   corners_np, counts_np)
+            x0s.append(x0_t)
+        return carry[0], jnp.stack(x0s)
+
+    return sample_segmented

@@ -10,10 +10,11 @@ as ONE fused jitted program per eval geometry: for each image,
   output := x0_preds[x0_pred_index]   (reference uses -5, restoration.py:108)
   [diffusion LL(3) | HFRM HF(45)] -> IWT -> [0,1]
 
-runs on-device with zero host round-trips (the reference crosses
-device<->host every DDIM step and patch micro-batch).  PSNR/SSIM are computed
-host-side by wavedm_tpu.utils.metrics, reproducing the reference's three PSNR
-variants.
+runs on-device with zero host data round-trips (the reference crosses
+device<->host every DDIM step and patch micro-batch): three compiled
+programs per geometry -- prep, DDIM chain, recombine -- with all
+intermediates resident in HBM.  PSNR/SSIM are computed host-side by
+wavedm_tpu.utils.metrics, reproducing the reference's three PSNR variants.
 """
 
 from __future__ import annotations
@@ -63,13 +64,23 @@ class DiffusiveRestoration:
     # ---------------------------------------------------------------- wavelet
 
     def _build_wavelet_restore(self, h: int, w: int) -> Callable:
-        """Fused restore program for pixel geometry (h, w); works in the
-        wavelet domain (h/4, w/4)."""
+        """Restore pipeline for pixel geometry (h, w); works in the wavelet
+        domain (h/4, w/4).
+
+        Compiled as THREE programs -- prep (HFRM + DWT + noise init), the
+        25-step tiled DDIM scan, and recombine (select x0, merge HF bands,
+        IWT) -- rather than one fused program: the whole chain exceeds the
+        axon remote-compile relay's request-size limit when fused, and three
+        dispatches per image cost only microseconds of launch overhead while
+        all data stays in HBM between them.
+        """
         cfg = self.cfg
         m = cfg.model
         hw, ww = h // 4, w // 4
-        model_fn = lambda x, t: self.unet_apply(
-            {"params": self.unet_params}, x, t)
+        # params flow through as jit ARGUMENTS (closures would embed the
+        # 156M-param tree as HLO constants -- oversized compile payloads)
+        model_fn = lambda params, x, t: self.unet_apply(
+            {"params": params}, x, t)
         sampler = make_overlapping_sampler(
             model_fn,
             image_shape=(hw, ww),
@@ -81,19 +92,17 @@ class DiffusiveRestoration:
             eta=cfg.sampling.eta,
             use_other=m.use_other_channels,
             patch_micro_batch=cfg.sampling.patch_micro_batch,
+            jit_mode=cfg.sampling.jit_mode,
         )
         x0_idx = cfg.sampling.x0_pred_index
 
         @jax.jit
-        def restore(cond_pixel, rng):
-            # cond_pixel: (1, h, w, 3) in [0,1]
+        def prep(hfrm_params, cond_pixel, rng):
             cond_n = data_transform(cond_pixel)
             cond_w = wavelet_dec(cond_n)
             restored = self.hfrm_apply(
-                {"params": self.hfrm_params}, cond_pixel)
+                {"params": hfrm_params}, cond_pixel)
             hfrm_w = wavelet_dec(data_transform(restored))
-            x_other = hfrm_w[..., m.other_channels_begin:]
-
             key_init, key_s = jax.random.split(rng)
             x_init = jax.random.normal(
                 key_init, (1, hw, ww, m.pred_channels), jnp.float32)
@@ -101,16 +110,24 @@ class DiffusiveRestoration:
                 a_T = jnp.cumprod(1.0 - self.betas)[-1]
                 x_init = (cond_w[..., :m.pred_channels] * jnp.sqrt(a_T)
                           + x_init * jnp.sqrt(1.0 - a_T))
+            return cond_w, hfrm_w, x_init, key_s, restored
 
-            _, x0_preds = sampler(
-                x_init, cond_w,
-                x_other if m.use_other_channels else None, key_s)
+        @jax.jit
+        def recombine(x0_preds, hfrm_w):
             x_output_ll = x0_preds[x0_idx]
             full = jnp.concatenate(
                 [x_output_ll[..., :m.pred_channels],
                  hfrm_w[..., m.pred_channels:]], axis=-1)
-            out = inverse_data_transform(wavelet_rec(full))
-            return out, restored
+            return inverse_data_transform(wavelet_rec(full))
+
+        def restore(cond_pixel, rng):
+            cond_w, hfrm_w, x_init, key_s, restored = prep(
+                self.hfrm_params, cond_pixel, rng)
+            x_other = (hfrm_w[..., m.other_channels_begin:]
+                       if m.use_other_channels else None)
+            _, x0_preds = sampler(x_init, cond_w, x_other, key_s,
+                                  params=self.unet_params)
+            return recombine(x0_preds, hfrm_w), restored
 
         return restore
 
@@ -118,8 +135,8 @@ class DiffusiveRestoration:
 
     def _build_pixel_restore(self, h: int, w: int) -> Callable:
         cfg = self.cfg
-        model_fn = lambda x, t: self.unet_apply(
-            {"params": self.unet_params}, x, t)
+        model_fn = lambda params, x, t: self.unet_apply(
+            {"params": params}, x, t)
         sampler = make_overlapping_sampler(
             model_fn,
             image_shape=(h, w),
@@ -132,17 +149,22 @@ class DiffusiveRestoration:
             use_other=False,
             use_fft=cfg.data.use_fft,
             patch_micro_batch=cfg.sampling.patch_micro_batch,
+            jit_mode=cfg.sampling.jit_mode,
         )
         x0_idx = cfg.sampling.x0_pred_index
 
         @jax.jit
-        def restore(cond_pixel, rng):
+        def prep(cond_pixel, rng):
             cond_n = data_transform(cond_pixel)
             key_init, key_s = jax.random.split(rng)
             x_init = jax.random.normal(key_init, cond_n.shape, jnp.float32)
-            _, x0_preds = sampler(x_init, cond_n, None, key_s)
-            out = inverse_data_transform(x0_preds[x0_idx])
-            return out, cond_pixel
+            return cond_n, x_init, key_s
+
+        def restore(cond_pixel, rng):
+            cond_n, x_init, key_s = prep(cond_pixel, rng)
+            _, x0_preds = sampler(x_init, cond_n, None, key_s,
+                                  params=self.unet_params)
+            return inverse_data_transform(x0_preds[x0_idx]), cond_pixel
 
         return restore
 
