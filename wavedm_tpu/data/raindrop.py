@@ -162,14 +162,44 @@ class RainDrop:
         return os.path.join(base, "train"), os.path.join(base, "raindrop_test")
 
     def train_batches(self, epoch: int, batch_size: Optional[int] = None,
-                      prefetch: bool = True) -> Iterator[np.ndarray]:
-        """(batch*patch_n, P, P, 6) float32 batches for one epoch."""
+                      prefetch: bool = True,
+                      use_native: Optional[bool] = None) -> Iterator[np.ndarray]:
+        """(batch*patch_n, P, P, 6) float32 batches for one epoch.
+
+        With the native C++ loader built (native/dataloader), decode + crop
+        assembly happens in native threads; otherwise the PIL path runs.
+        """
         train_dir, _ = self._dirs()
         ds = RainDropDataset(
             train_dir, self.cfg.data.patch_size, self.cfg.training.patch_n,
             parse_patches=True, process_index=self.process_index,
             process_count=self.process_count)
         bs = batch_size or self.cfg.training.batch_size
+
+        if use_native is None:
+            from wavedm_tpu.data import native_loader
+            use_native = native_loader.available()
+        if use_native:
+            from wavedm_tpu.data import native_loader
+            order = np.array(ds.indices)
+            np.random.default_rng(self.cfg.training.seed + epoch).shuffle(order)
+
+            def native_iter():
+                for s in range(0, len(order) - bs + 1, bs):
+                    idxs = order[s:s + bs]
+                    yield native_loader.make_crop_batch(
+                        [ds.inputs[i] for i in idxs],
+                        [ds.gts[i] for i in idxs],
+                        patch_n=self.cfg.training.patch_n,
+                        patch=self.cfg.data.patch_size,
+                        seed=(self.cfg.training.seed * 100003 + epoch))
+
+            it = native_iter()
+            if prefetch:
+                it = iter(_Prefetcher(it))
+            yield from it
+            return
+
         it = ds.epoch(epoch, self.cfg.training.seed)
         if prefetch:
             it = iter(_Prefetcher(it))
