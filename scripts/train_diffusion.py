@@ -62,7 +62,15 @@ def main():
 
     hfrm_params = load_hfrm_params(args.hfrm_ckpt or cfg.hfrm.ckpt_path, cfg)
     trainer = DiffusionTrainer(cfg, hfrm_params=hfrm_params)
-    if args.resume:
+    if args.resume == "auto":
+        from wavedm_tpu.utils.checkpoint import find_latest_checkpoint
+        latest = find_latest_checkpoint(
+            args.ckpt_dir or os.path.join(cfg.data.data_dir, "ckpts"))
+        if latest:
+            trainer.resume(latest)
+        else:
+            print("=> --resume auto: no checkpoint found, starting fresh")
+    elif args.resume:
         trainer.resume(args.resume)
 
     if args.smoke:

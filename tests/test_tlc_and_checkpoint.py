@@ -118,3 +118,40 @@ def test_hfrm_trainer_smoke_cpu():
         trainer.fit(batches, max_steps=4, ckpt_dir=d)
         assert int(trainer.state.step) == 4
         assert os.path.exists(os.path.join(d, "lastest"))
+
+
+def test_find_latest_checkpoint(tmp_path):
+    import time as _time
+
+    from wavedm_tpu.config import OptimConfig
+    from wavedm_tpu.training.state import create_train_state
+    from wavedm_tpu.utils.checkpoint import (
+        find_latest_checkpoint,
+        save_checkpoint,
+    )
+
+    assert find_latest_checkpoint(str(tmp_path)) is None
+    params = {"w": jnp.ones(2)}
+    state = create_train_state(params, OptimConfig(), jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path / "epoch1"), state, epoch=1)
+    _time.sleep(0.05)
+    save_checkpoint(str(tmp_path / "epoch2"), state, epoch=2)
+    latest = find_latest_checkpoint(str(tmp_path))
+    assert latest.endswith("epoch2")
+
+
+def test_tv_loss_matches_reference_formula(rng):
+    import torch
+
+    from wavedm_tpu.training.hfrm_trainer import tv_loss
+
+    x = rng.random((2, 6, 7, 3)).astype(np.float32)
+    ours = float(tv_loss(jnp.asarray(x)))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)  # reference is NCHW
+    h_x, w_x = t.size(2), t.size(3)
+    count_h = t[:, :, 1:, :].numel() / 2  # _tensor_size excludes batch
+    count_w = t[:, :, :, 1:].numel() / 2
+    h_tv = ((t[:, :, 1:] - t[:, :, :h_x - 1]) ** 2).sum()
+    w_tv = ((t[:, :, :, 1:] - t[:, :, :, :w_x - 1]) ** 2).sum()
+    ref = float(2 * (h_tv / count_h + w_tv / count_w) / 2)
+    assert ours == pytest.approx(ref, rel=1e-5)

@@ -28,6 +28,18 @@ from wavedm_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 from wavedm_tpu.training.state import TrainState
 
 
+def tv_loss(x: jax.Array, weight: float = 1.0) -> jax.Array:
+    """Total-variation regulariser (reference TVLoss, train_hfrm.py:86-103 --
+    defined there but unused in the shipped loss; provided for parity and as
+    an opt-in regulariser).  x: (B, H, W, C)."""
+    b, h, w, c = x.shape
+    h_tv = jnp.sum(jnp.square(x[:, 1:] - x[:, :-1]))
+    w_tv = jnp.sum(jnp.square(x[:, :, 1:] - x[:, :, :-1]))
+    count_h = (h - 1) * w * c
+    count_w = h * (w - 1) * c
+    return weight * 2.0 * (h_tv / count_h + w_tv / count_w) / b
+
+
 def hfrm_lr_schedule(base_lr: float):
     """lr * 0.5**(step / 100000) (reference train_hfrm.py:236)."""
     def schedule(step):

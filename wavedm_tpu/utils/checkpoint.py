@@ -53,6 +53,21 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0,
         json.dump(meta, f)
 
 
+def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Most recently written checkpoint directory under ``ckpt_dir`` (for
+    ``--resume auto``); None if none exist."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    candidates = [
+        os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)
+        if os.path.isdir(os.path.join(ckpt_dir, d))
+        and os.path.exists(os.path.join(ckpt_dir, d, _META_FILE))
+    ]
+    if not candidates:
+        return None
+    return max(candidates, key=os.path.getmtime)
+
+
 def load_checkpoint(path: str, state_template: Optional[TrainState] = None
                     ) -> Tuple[TrainState, Dict[str, Any]]:
     """Load a checkpoint.  With a template, arrays are restored with the
