@@ -190,3 +190,41 @@ def test_step_mode_matches_scan_mode():
     xf2, x0s2 = stepped(x0, cond)
     np.testing.assert_allclose(np.asarray(xf1), np.asarray(xf2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(x0s1), np.asarray(x0s2), atol=1e-5)
+
+
+def test_tiled_chain_recovers_target_with_perfect_model():
+    """With the analytically-correct eps model
+    eps(xt, t) = (xt - sqrt(abar_t) * x_target) / sqrt(1 - abar_t)
+    the tiled DDIM chain must recover x_target (near-)exactly -- isolating
+    sampler correctness from learned-model quality."""
+    h, w, p, r = 24, 32, 16, 8
+    rng = np.random.default_rng(7)
+    x_tar = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32) * 3)
+    cond = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    T = 1000
+    betas = jnp.asarray(get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=T
+    ), jnp.float32)
+    abar = jnp.concatenate(
+        [jnp.ones(1), jnp.cumprod(1 - betas)]).astype(jnp.float32)
+    seq = ddim_timesteps(T, 25)
+
+    def perfect_model(x, t):
+        xt = x[..., 2:4]
+        # per-patch target: gather the same window the sampler did -- the
+        # cond channels carry the patch id implicitly, so instead use the
+        # analytic form with the FULL image target via cond == coordinates.
+        a = abar[t[0].astype(jnp.int32) + 1]
+        # cond channels were repurposed to carry the local target window
+        tar = x[..., 0:2]
+        return (xt - jnp.sqrt(a) * tar) / jnp.sqrt(1.0 - a)
+
+    sampler = make_overlapping_sampler(
+        perfect_model, image_shape=(h, w), patch_size=p, grid_r=r,
+        seq=seq, betas=betas, pred_channels=2)
+    x_init = jax.random.normal(jax.random.PRNGKey(0), x_tar.shape)
+    xf, x0s = sampler(x_init, x_tar)  # cond := the target itself
+    np.testing.assert_allclose(np.asarray(x0s[-1]), np.asarray(x_tar),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(x_tar),
+                               atol=5e-3, rtol=1e-3)
