@@ -15,10 +15,17 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# The reference-style baseline is slow to measure (~2x218s incl. compile);
+# cache it after the first measurement so routine bench runs only time the
+# fused path.  Delete this file to force a re-measure.
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_BASELINE.json")
 
 
 def main():
@@ -106,10 +113,17 @@ def main():
             xt = np.sqrt(at_next) * x0 + np.sqrt(1 - at_next) * et_full
         return xt
 
-    reference_style_restore(cond, 0)  # compile the 8-patch forward
-    t0 = time.time()
-    reference_style_restore(cond, 1)
-    ref_dt = time.time() - t0
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            ref_dt = json.load(f)["reference_style_s_per_image"]
+    else:
+        reference_style_restore(cond, 0)  # compile the 8-patch forward
+        t0 = time.time()
+        reference_style_restore(cond, 1)
+        ref_dt = time.time() - t0
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump({"reference_style_s_per_image": ref_dt,
+                       "backend": jax.default_backend()}, f)
     ref_ips = 1.0 / ref_dt
 
     result = {
