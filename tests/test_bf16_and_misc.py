@@ -74,3 +74,21 @@ def test_whole_image_sampler_on_unet(tiny_unet_setup):
     assert xf.shape == cond.shape
     assert x0s.shape[0] == 5
     assert np.isfinite(np.asarray(xf)).all()
+
+
+def test_wavelet_in_unet_mode(rng):
+    """wavelet_in_unet: DWT on entry / IWT on exit (reference
+    models/unet.py:203-206,349,393-394): pixel-domain in/out, wavelet-domain
+    compute; output shape matches input spatial dims."""
+    from wavedm_tpu.models.unet import DiffusionUNet
+
+    m = DiffusionUNet(in_channels=96, out_ch=48, ch=32, ch_mult=(1, 2),
+                      num_res_blocks=1, attn_resolutions=(),
+                      resolution=16, wavelet_in_unet=True)
+    # 64x64 pixel input [cond3|tar3] -> internal 16x16x96 -> output 64x64x3
+    x = jnp.asarray(rng.random((1, 64, 64, 6)).astype(np.float32))
+    t = jnp.zeros((1,))
+    v = m.init(jax.random.PRNGKey(0), x, t)
+    y = m.apply(v, x, t)
+    assert y.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()

@@ -9,8 +9,6 @@ alpha_bar(-1) = 1 boundary.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

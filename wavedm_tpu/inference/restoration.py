@@ -19,7 +19,6 @@ wavedm_tpu.utils.metrics, reproducing the reference's three PSNR variants.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax

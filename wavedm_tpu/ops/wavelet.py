@@ -30,8 +30,6 @@ parity testing against the PyTorch reference.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

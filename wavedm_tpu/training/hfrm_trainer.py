@@ -12,14 +12,12 @@ for the decaying LR, PSNR) over the data-parallel mesh.
 from __future__ import annotations
 
 import os
-import time
 from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from wavedm_tpu.config import Config
 from wavedm_tpu.models.hfrm import HFRM

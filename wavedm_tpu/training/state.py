@@ -9,14 +9,14 @@ RMSProp / SGD(momentum 0.9)).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from wavedm_tpu.config import Config, OptimConfig
+from wavedm_tpu.config import OptimConfig
 from wavedm_tpu.diffusion.ema import ema_init
 
 

@@ -15,7 +15,6 @@ into this parameterisation):
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

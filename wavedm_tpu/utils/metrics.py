@@ -21,8 +21,6 @@ PSNR.
 
 from __future__ import annotations
 
-from typing import Union
-
 import numpy as np
 
 try:
