@@ -155,3 +155,49 @@ def test_tv_loss_matches_reference_formula(rng):
     w_tv = ((t[:, :, :, 1:] - t[:, :, :, :w_x - 1]) ** 2).sum()
     ref = float(2 * (h_tv / count_h + w_tv / count_w) / 2)
     assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_diffusion_trainer_snapshot_and_resume(tmp_path):
+    """DiffusionTrainer.fit writes snapshots; a fresh trainer resumes from
+    them and continues at the right step (the reference's --resume flow,
+    models/ddm_wavelet.py:180-190)."""
+    import dataclasses
+
+    from wavedm_tpu.config import (
+        Config,
+        DataConfig,
+        DiffusionConfig,
+        ModelConfig,
+        TrainingConfig,
+    )
+    from wavedm_tpu.training.trainer import DiffusionTrainer
+
+    cfg = Config()
+    cfg.data = DataConfig(image_size=8, patch_size=32, wavelet=True)
+    cfg.model = ModelConfig(
+        in_channels=48, out_ch=3, pred_channels=3, use_other_channels=True,
+        other_channels_begin=3, use_gt_in_train=True, ch=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=())
+    cfg.diffusion = DiffusionConfig(num_diffusion_timesteps=20)
+    cfg.training = TrainingConfig(patch_n=2, batch_size=1, n_epochs=100,
+                                  snapshot_freq=3, validation_freq=1000)
+    cfg.validate()
+
+    rng = np.random.default_rng(0)
+
+    def batches(epoch):
+        for _ in range(4):
+            yield rng.random((2, 32, 32, 6)).astype(np.float32)
+
+    t1 = DiffusionTrainer(cfg, use_mesh=False, log_fn=lambda s: None)
+    t1.fit(batches, max_steps=4, ckpt_dir=str(tmp_path))
+    snaps = [d for d in os.listdir(tmp_path) if "ddpm" in d]
+    assert snaps, "no snapshot written at snapshot_freq=3"
+
+    t2 = DiffusionTrainer(cfg, use_mesh=False, log_fn=lambda s: None)
+    t2.resume(os.path.join(str(tmp_path), snaps[0]))
+    assert int(t2.state.step) == 3
+    l1 = jax.tree_util.tree_leaves(t1.state.ema)[0]
+    # resumed EMA exists and training continues
+    t2.fit(batches, max_steps=5, ckpt_dir=None)
+    assert int(t2.state.step) == 5
