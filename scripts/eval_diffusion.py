@@ -64,7 +64,9 @@ def main():
         if args.resume.endswith((".pth", ".pth.tar", ".pt")):
             from wavedm_tpu.utils.torch_compat import (
                 convert_unet_state_dict, load_torch_checkpoint)
-            sd = load_torch_checkpoint(args.resume)
+            # --ema reads the reference's ema_helper shadow (same key
+            # layout as state_dict; registered pre-DDP-wrap so unprefixed)
+            sd = load_torch_checkpoint(args.resume, ema=args.ema)
             uparams = convert_unet_state_dict(
                 sd, num_levels=len(cfg.model.ch_mult),
                 num_res_blocks=cfg.model.num_res_blocks)

@@ -34,7 +34,7 @@ class DataConfig:
     begin_from_noise: bool = True # start DDIM from pure noise (vs noised cond)
     use_fft: bool = False         # append FFT amp/phase to the conditioning
     channels: int = 3             # pixel channels (pixel-space path)
-    num_workers: int = 8
+    num_workers: int = 8          # native-loader decode threads (n_threads)
     data_dir: str = "./data"
     conditional: bool = True
 

@@ -187,12 +187,18 @@ class RainDrop:
             def native_iter():
                 for s in range(0, len(order) - bs + 1, bs):
                     idxs = order[s:s + bs]
+                    # Seed folds in (seed, epoch, batch-start) so crop
+                    # coordinates differ across batches within an epoch --
+                    # the per-slot Mix() stream in wavedm_data.cc would
+                    # otherwise repeat identical crops every batch.
                     yield native_loader.make_crop_batch(
                         [ds.inputs[i] for i in idxs],
                         [ds.gts[i] for i in idxs],
                         patch_n=self.cfg.training.patch_n,
                         patch=self.cfg.data.patch_size,
-                        seed=(self.cfg.training.seed * 100003 + epoch))
+                        seed=((self.cfg.training.seed * 100003 + epoch)
+                              * 1000003 + s),
+                        n_threads=self.cfg.data.num_workers)
 
             it = native_iter()
             if prefetch:

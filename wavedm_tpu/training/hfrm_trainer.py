@@ -118,26 +118,36 @@ class HFRMTrainer:
 
     def fit(self, batch_iter_fn: Callable[[int], Iterable[np.ndarray]],
             max_steps: Optional[int] = None,
-            ckpt_dir: Optional[str] = None):
+            ckpt_dir: Optional[str] = None,
+            metrics_path: Optional[str] = None):
         """batch_iter_fn(epoch) -> (B, H, W, 6) [cond|gt] batches in [0,1].
 
         Per-epoch: save 'lastest' always, 'best' when epoch-mean train PSNR
         beats the running best (train_hfrm.py:300-307 -- including the
         reference's 'lastest' spelling for drop-in path compatibility).
         """
+        from wavedm_tpu.utils.profiling import MetricsLogger, StepTimer
         cfg = self.cfg
+        timer = StepTimer()
+        mlog = MetricsLogger(metrics_path) if metrics_path else None
         for epoch in range(self.epoch, cfg.hfrm.n_epochs):
             self.epoch = epoch
             epoch_psnr = []
             for batch in batch_iter_fn(epoch):
                 if self.mesh is not None:
                     batch = shard_batch(jnp.asarray(batch), self.mesh)
+                timer.start()
                 self.state, (loss, psnr) = self._step(self.state, batch)
                 step = int(self.state.step)
                 epoch_psnr.append(float(psnr))
+                timer.stop(sync_on=psnr)
                 if step % 100 == 0:
                     self.log(f"[Epoch {epoch}] step {step} "
-                             f"G loss: {float(loss):.4f} PSNR: {float(psnr):.3f}")
+                             f"G loss: {float(loss):.4f} PSNR: {float(psnr):.3f} "
+                             f"step time: {timer.mean:.3f}s")
+                    if mlog is not None:
+                        mlog.log(step, loss=float(loss), psnr=float(psnr),
+                                 step_time=timer.mean)
                 if max_steps is not None and step >= max_steps:
                     if ckpt_dir:
                         self.save(ckpt_dir, "lastest")

@@ -25,6 +25,7 @@ from wavedm_tpu.parallel.mesh import make_mesh, shard_batch
 from wavedm_tpu.training.state import TrainState, create_train_state
 from wavedm_tpu.training.train_step import make_train_step
 from wavedm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from wavedm_tpu.utils.profiling import MetricsLogger, StepTimer
 
 
 @dataclass
@@ -92,15 +93,23 @@ class DiffusionTrainer:
     def fit(self, batch_iter_fn: Callable[[int], Iterable[np.ndarray]],
             max_steps: Optional[int] = None,
             ckpt_dir: Optional[str] = None,
-            validate_fn: Optional[Callable[[TrainState, int], None]] = None):
-        """Run epochs until ``training.n_epochs`` or ``max_steps``.
+            validate_fn: Optional[Callable[[TrainState, int], None]] = None,
+            metrics_path: Optional[str] = None):
+        """Run epochs until ``training.n_epochs``, ``training.n_iters`` global
+        steps, or ``max_steps``.
 
         batch_iter_fn(epoch) -> iterable of (B, P, P, 6) float32 batches.
         validate_fn(state, step): optional in-train eval hook
         (reference models/ddm_wavelet.py:275-280).
+        metrics_path: optional JSONL file receiving per-log-step metrics
+        (process-0 only).
         """
         cfg = self.cfg
         history = []
+        stop_at = (min(max_steps, cfg.training.n_iters)
+                   if max_steps is not None else cfg.training.n_iters)
+        timer = StepTimer()
+        mlog = MetricsLogger(metrics_path) if metrics_path else None
         for epoch in range(self.epoch, cfg.training.n_epochs):
             self.epoch = epoch
             data_start = time.time()
@@ -108,24 +117,31 @@ class DiffusionTrainer:
                 data_time = time.time() - data_start
                 if self.mesh is not None:
                     batch = shard_batch(jnp.asarray(batch), self.mesh)
-                t0 = time.time()
+                timer.start()
                 self.state, m = self.train_step(self.state, batch)
                 step = int(self.state.step)
                 if step % 10 == 0:
-                    jax.block_until_ready(m.loss)
+                    timer.stop(sync_on=m.loss)
                     entry = TrainLogEntry(
                         step=step, loss=float(m.loss),
                         loss_per_pixel=float(m.loss_per_pixel),
                         mse_per_pixel=float(m.mse_loss) /
                         (cfg.model.pred_channels * cfg.data.image_size ** 2),
-                        data_time=data_time, step_time=time.time() - t0)
+                        data_time=data_time, step_time=timer.times[-1])
                     history.append(entry)
                     self.log(
                         f"step: {entry.step}, loss: {entry.loss:.2f}, "
                         f"loss/px: {entry.loss_per_pixel:.5f}, "
                         f"mse/px: {entry.mse_per_pixel:.5f}, "
-                        f"step time: {entry.step_time:.3f}s, "
+                        f"step time: {entry.step_time:.3f}s "
+                        f"(avg {timer.mean:.3f}s), "
                         f"data time: {entry.data_time:.3f}s")
+                    if mlog is not None:
+                        mlog.log(step, loss=entry.loss,
+                                 loss_per_pixel=entry.loss_per_pixel,
+                                 mse_per_pixel=entry.mse_per_pixel,
+                                 step_time=entry.step_time,
+                                 data_time=entry.data_time)
                 if (validate_fn is not None
                         and step % cfg.training.validation_freq == 0
                         and jax.process_index() == 0):
@@ -135,7 +151,7 @@ class DiffusionTrainer:
                     self.save(os.path.join(
                         ckpt_dir,
                         f"{cfg.data.dataset}_epoch{epoch + 1}_ddpm"))
-                if max_steps is not None and step >= max_steps:
+                if step >= stop_at:
                     return history
                 data_start = time.time()
         return history

@@ -146,12 +146,28 @@ def convert_hfrm_state_dict(
     return params
 
 
-def load_torch_checkpoint(path: str) -> Dict:
-    """Load a torch .pth/.pth.tar file into a numpy state_dict (CPU)."""
+def _to_numpy_sd(obj) -> Dict:
+    return {k: v.detach().numpy() if hasattr(v, "detach") else v
+            for k, v in obj.items()}
+
+
+def load_torch_checkpoint(path: str, ema: bool = False) -> Dict:
+    """Load a torch .pth/.pth.tar file into a numpy state_dict (CPU).
+
+    With ``ema=True``, returns the EMA shadow instead
+    (``obj['ema_helper']`` -- same key layout as ``state_dict``: the
+    reference registers EMAHelper on the unwrapped module before the DDP
+    wrap, models/ddm_wavelet.py:157-168, so shadow keys are unprefixed;
+    these are the weights a reference eval would use with
+    ``load_ddm_ckpt(..., ema=True)``).
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
+    if ema:
+        if not (isinstance(obj, dict) and "ema_helper" in obj):
+            raise KeyError(f"checkpoint {path} has no 'ema_helper' entry")
+        return _to_numpy_sd(obj["ema_helper"])
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return {k: v.detach().numpy() if hasattr(v, "detach") else v
-            for k, v in obj.items()}
+    return _to_numpy_sd(obj)
