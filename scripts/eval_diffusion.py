@@ -54,11 +54,21 @@ def main():
     if args.sampling_timesteps is not None:
         cfg.sampling.sampling_timesteps = args.sampling_timesteps
 
-    unet = DiffusionUNet.from_config(cfg)
     key = jax.random.PRNGKey(cfg.training.seed)
     sample = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
                         cfg.model.unet_in_channels))
-    uparams = jax.jit(unet.init)(key, sample, jnp.zeros((1,)))["params"]
+    init_args = [sample, jnp.zeros((1,))]
+    if cfg.data.global_attn:
+        from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
+        unet = DiffusionUNetGlobal.from_config(cfg)
+        gs = 8 * 2 ** (len(cfg.model.ch_mult) - 1)
+        gc = (cfg.model.in_channels
+              if cfg.data.wavelet and not cfg.data.wavelet_in_unet
+              else cfg.data.channels)
+        init_args.append(jnp.zeros((1, gs, gs, gc)))
+    else:
+        unet = DiffusionUNet.from_config(cfg)
+    uparams = jax.jit(unet.init)(key, *init_args)["params"]
 
     if args.resume:
         if args.resume.endswith((".pth", ".pth.tar", ".pt")):

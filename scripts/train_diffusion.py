@@ -89,7 +89,10 @@ def main():
                     x = rng.integers(0, cond.shape[1] - p)
                     crops[k, ..., :3] = cond[y:y + p, x:x + p]
                     crops[k, ..., 3:] = gt[y:y + p, x:x + p]
-                yield crops
+                if cfg.data.global_attn:
+                    yield crops, cond[None]
+                else:
+                    yield crops
 
         trainer.fit(batches, max_steps=args.max_steps or 20)
         print("smoke training done at step", int(trainer.state.step))

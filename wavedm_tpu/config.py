@@ -48,6 +48,19 @@ class DataConfig:
                     f"(got image_size={self.image_size}, patch_size={self.patch_size})")
         if self.use_window and self.window_size < 1:
             raise ConfigError("window_size must be >= 1")
+        if self.global_attn and self.use_window:
+            raise ConfigError(
+                "global_attn does not compose with use_window (the reference "
+                "DiffusionUNet_Global has no window hooks, models/unet.py:397)")
+        if self.global_attn and self.wavelet_in_unet:
+            raise ConfigError(
+                "global_attn does not compose with wavelet_in_unet")
+        if self.global_attn and not self.conditional:
+            raise ConfigError("global_attn requires conditional")
+        if self.lap and self.wavelet:
+            raise ConfigError(
+                "lap is a pixel-path domain transform (the reference wires it "
+                "only in models/ddm.py:131-138); set wavelet: false")
 
 
 @dataclass

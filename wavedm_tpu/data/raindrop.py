@@ -67,13 +67,19 @@ class RainDropDataset:
 
     def __init__(self, root: str, patch_size: int, patch_n: int,
                  parse_patches: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 return_total: bool = False):
         if Image is None:
             raise RuntimeError("PIL is required for the RainDrop pipeline")
         self.inputs, self.gts = _list_pairs(root)
         self.patch_size = patch_size
         self.patch_n = patch_n
         self.parse_patches = parse_patches
+        # whole-image tensor for the global-attention UNet: the input
+        # resized to 720x480 (reference datasets/raindrop.py:121-122).
+        # Yielded ONCE per image, not repeated per crop -- the trainer
+        # broadcasts it on-device.
+        self.return_total = return_total
         # index-striped per-host sharding (replaces DistributedSampler)
         self.indices = list(range(process_index, len(self.inputs), process_count))
 
@@ -93,6 +99,10 @@ class RainDropDataset:
         for k, (y, x) in enumerate(zip(ys, xs)):
             crops[k, ..., :3] = a_inp[y:y + p, x:x + p]
             crops[k, ..., 3:] = a_gt[y:y + p, x:x + p]
+        if self.return_total:
+            total = np.asarray(inp.resize((720, 480), Image.LANCZOS),
+                               dtype=np.float32) / 255.0
+            return crops, total[None]
         return crops
 
     def _eval_sample(self, idx: int) -> Tuple[np.ndarray, str]:
@@ -170,15 +180,18 @@ class RainDrop:
         assembly happens in native threads; otherwise the PIL path runs.
         """
         train_dir, _ = self._dirs()
+        use_global = self.cfg.data.global_attn
         ds = RainDropDataset(
             train_dir, self.cfg.data.patch_size, self.cfg.training.patch_n,
             parse_patches=True, process_index=self.process_index,
-            process_count=self.process_count)
+            process_count=self.process_count, return_total=use_global)
         bs = batch_size or self.cfg.training.batch_size
 
         if use_native is None:
             from wavedm_tpu.data import native_loader
-            use_native = native_loader.available()
+            # the native loader emits crops only; the global-attn path needs
+            # the per-image total tensor, so it stays on the PIL pipeline
+            use_native = native_loader.available() and not use_global
         if use_native:
             from wavedm_tpu.data import native_loader
             order = np.array(ds.indices)
@@ -209,11 +222,22 @@ class RainDrop:
         it = ds.epoch(epoch, self.cfg.training.seed)
         if prefetch:
             it = iter(_Prefetcher(it))
-        buf = []
-        for crops in it:
+        buf, tbuf = [], []
+        for sample in it:
+            if use_global:
+                crops, total = sample
+                tbuf.append(total)
+            else:
+                crops = sample
             buf.append(crops)
             if len(buf) == bs:
-                yield np.concatenate(buf, axis=0)
+                crops_b = np.concatenate(buf, axis=0)
+                if use_global:
+                    # (B*patch_n, P, P, 6) crops + (B, 480, 720, 3) totals
+                    yield crops_b, np.concatenate(tbuf, axis=0)
+                    tbuf = []
+                else:
+                    yield crops_b
                 buf = []
 
     def eval_samples(self) -> Iterator[Tuple[np.ndarray, str]]:

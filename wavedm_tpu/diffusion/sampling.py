@@ -131,6 +131,7 @@ def make_overlapping_sampler(
     eta: float = 0.0,
     use_other: bool = False,
     use_fft: bool = False,
+    use_global: bool = False,
     patch_micro_batch: int = 0,
     jit_mode: str = "scan",
 ):
@@ -141,6 +142,13 @@ def make_overlapping_sampler(
       -> (x_final, x0_preds (T,1,H,W,pred))
     running the full chain on-device.  The reference equivalent is
     ``generalized_steps_overlapping`` (models/ddm_wavelet.py:437-506).
+
+    With ``use_global`` the sample fn takes an extra ``x_global``
+    whole-image tensor handed to the model alongside every patch batch
+    (reference ``total_batch``, utils/sampling.py:80-87 /
+    models/ddm_wavelet.py:481-484) -- kept at batch 1 here; the model's
+    AttnGlobal broadcasts its k/v tokens across the K patches instead of
+    re-encoding a K-fold repeat.
     """
     h, w = image_shape
     p = patch_size
@@ -165,10 +173,13 @@ def make_overlapping_sampler(
         rows_j, cols_j = _index_grids(corners_a)
         return img[0][rows_j[:, :, None], cols_j[:, None, :], :]
 
-    def apply_model(params, patches, t):
+    def apply_model(params, patches, t, x_global):
         # patches: (K, p, p, Cin) -> eps (K, p, p, pred)
         call = (model_fn if params is None
                 else functools.partial(model_fn, params))
+        if use_global:
+            base = call
+            call = lambda xx, tt: base(xx, tt, x_global)
         if patch_micro_batch and K > patch_micro_batch:
             mb = patch_micro_batch
             pad = (-K) % mb
@@ -179,12 +190,13 @@ def make_overlapping_sampler(
             return out.reshape(-1, p, p, pred_channels)[:K]
         return call(patches, jnp.full((K,), t))
 
-    def step(params, carry, per_step, cond_p, other_p, corners_a, counts_a):
+    def step(params, carry, per_step, cond_p, other_p, x_global,
+             corners_a, counts_a):
         xt, key = carry
         t, a, a_nx, cc1, cc2 = per_step
         xt_p = gather_patches(xt, corners_a)
         inp = [cond_p, xt_p] + ([other_p] if use_other else [])
-        et_p = apply_model(params, jnp.concatenate(inp, axis=-1), t)
+        et_p = apply_model(params, jnp.concatenate(inp, axis=-1), t, x_global)
         # scatter-add the K noise estimates, normalize by coverage
         rows_j, cols_j = _index_grids(corners_a)
         acc = jnp.zeros((h, w, pred_channels), et_p.dtype)
@@ -208,21 +220,21 @@ def make_overlapping_sampler(
     if jit_mode == "scan":
         # one compiled program for the whole reverse chain
         @jax.jit
-        def sample_scan(params, x_init, x_cond, x_other, rng,
+        def sample_scan(params, x_init, x_cond, x_other, x_global, rng,
                         corners_a, counts_a):
             cond_p, other_p = prep_cond(x_cond, x_other, corners_a)
             (x_final, _), x0_preds = jax.lax.scan(
                 lambda c, per: step(params, c, per, cond_p, other_p,
-                                    corners_a, counts_a),
+                                    x_global, corners_a, counts_a),
                 (x_init, rng), (t_cur, at, at_next, c1, c2))
             return x_final, x0_preds
 
         def sample(x_init, x_cond, x_other=None, rng=None,
-                   params=None):
+                   params=None, x_global=None):
             if rng is None:
                 rng = jax.random.PRNGKey(0)
-            return sample_scan(params, x_init, x_cond, x_other, rng,
-                               corners_np, counts_np)
+            return sample_scan(params, x_init, x_cond, x_other, x_global,
+                               rng, corners_np, counts_np)
 
         return sample
 
@@ -236,7 +248,7 @@ def make_overlapping_sampler(
     step_jit = jax.jit(step)
 
     def sample_segmented(x_init, x_cond, x_other=None, rng=None,
-                         params=None):
+                         params=None, x_global=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         cond_p, other_p = prep_jit(x_cond, x_other, corners_np)
@@ -245,7 +257,7 @@ def make_overlapping_sampler(
         for i in range(len(t_cur)):
             per_step = (t_cur[i], at[i], at_next[i], c1[i], c2[i])
             carry, x0_t = step_jit(params, carry, per_step, cond_p, other_p,
-                                   corners_np, counts_np)
+                                   x_global, corners_np, counts_np)
             x0s.append(x0_t)
         return carry[0], jnp.stack(x0s)
 

@@ -78,8 +78,12 @@ class DiffusiveRestoration:
         hw, ww = h // 4, w // 4
         # params flow through as jit ARGUMENTS (closures would embed the
         # 156M-param tree as HLO constants -- oversized compile payloads)
-        model_fn = lambda params, x, t: self.unet_apply(
-            {"params": params}, x, t)
+        if cfg.data.global_attn:
+            model_fn = lambda params, x, t, g: self.unet_apply(
+                {"params": params}, x, t, g)
+        else:
+            model_fn = lambda params, x, t: self.unet_apply(
+                {"params": params}, x, t)
         sampler = make_overlapping_sampler(
             model_fn,
             image_shape=(hw, ww),
@@ -90,6 +94,7 @@ class DiffusiveRestoration:
             pred_channels=m.pred_channels,
             eta=cfg.sampling.eta,
             use_other=m.use_other_channels,
+            use_global=cfg.data.global_attn,
             patch_micro_batch=cfg.sampling.patch_micro_batch,
             jit_mode=cfg.sampling.jit_mode,
         )
@@ -124,8 +129,15 @@ class DiffusiveRestoration:
                 self.hfrm_params, cond_pixel, rng)
             x_other = (hfrm_w[..., m.other_channels_begin:]
                        if m.use_other_channels else None)
+            # use_global: the whole-image conditioning tensor IS cond_w at
+            # eval -- the dataset's ``total`` is the same resized image the
+            # cond channels come from (reference models/restoration.py:76,
+            # datasets/raindrop.py:121-122), wavelet-decomposed into the
+            # UNet's domain (see prepare_global_batch).
+            x_global = cond_w if cfg.data.global_attn else None
             _, x0_preds = sampler(x_init, cond_w, x_other, key_s,
-                                  params=self.unet_params)
+                                  params=self.unet_params,
+                                  x_global=x_global)
             return recombine(x0_preds, hfrm_w), restored
 
         return restore
@@ -134,8 +146,12 @@ class DiffusiveRestoration:
 
     def _build_pixel_restore(self, h: int, w: int) -> Callable:
         cfg = self.cfg
-        model_fn = lambda params, x, t: self.unet_apply(
-            {"params": params}, x, t)
+        if cfg.data.global_attn:
+            model_fn = lambda params, x, t, g: self.unet_apply(
+                {"params": params}, x, t, g)
+        else:
+            model_fn = lambda params, x, t: self.unet_apply(
+                {"params": params}, x, t)
         sampler = make_overlapping_sampler(
             model_fn,
             image_shape=(h, w),
@@ -147,6 +163,7 @@ class DiffusiveRestoration:
             eta=cfg.sampling.eta,
             use_other=False,
             use_fft=cfg.data.use_fft,
+            use_global=cfg.data.global_attn,
             patch_micro_batch=cfg.sampling.patch_micro_batch,
             jit_mode=cfg.sampling.jit_mode,
         )
@@ -161,8 +178,13 @@ class DiffusiveRestoration:
 
         def restore(cond_pixel, rng):
             cond_n, x_init, key_s = prep(cond_pixel, rng)
+            # use_global: whole-image tensor = the full cond image
+            # (reference ``total`` at eval is the same resized input,
+            # models/ddm.py:380-388)
+            x_global = cond_n if cfg.data.global_attn else None
             _, x0_preds = sampler(x_init, cond_n, None, key_s,
-                                  params=self.unet_params)
+                                  params=self.unet_params,
+                                  x_global=x_global)
             return inverse_data_transform(x0_preds[x0_idx]), cond_pixel
 
         return restore

@@ -51,6 +51,14 @@ class AttnGlobal(nn.Module):
 
     @nn.compact
     def __call__(self, x_patch, x_global):
+        """x_patch: (B, h, w, c); x_global: (Bg, H, W, c) with B % Bg == 0.
+
+        Bg < B is the TPU-first broadcast path: the whole-image k/v encode
+        runs ONCE per image and its tokens are repeated across the patch
+        batch -- numerically identical to the reference's
+        ``total.repeat(B, 1, 1, 1)`` (utils/sampling.py:485) which re-runs
+        the global convs per patch.
+        """
         c = x_patch.shape[-1]
         lp, gp = self.local_patch_size, self.global_patch_size
         norm_patch = Normalize(name="norm_patch")
@@ -72,10 +80,14 @@ class AttnGlobal(nn.Module):
                     feature_group_count=c, name="v")(h_global)
 
         b, hq, wq, _ = q.shape
-        _, hk, wk, _ = k.shape
+        bg, hk, wk, _ = k.shape
         qf = q.reshape(b, hq * wq, c)
-        kf = k.reshape(b, hk * wk, c)
-        vf = v.reshape(b, hk * wk, c)
+        kf = k.reshape(bg, hk * wk, c)
+        vf = v.reshape(bg, hk * wk, c)
+        if bg != b:
+            assert b % bg == 0, (b, bg)
+            kf = jnp.repeat(kf, b // bg, axis=0)
+            vf = jnp.repeat(vf, b // bg, axis=0)
         attn = jnp.einsum("bqc,bkc->bqk", qf, kf,
                           preferred_element_type=jnp.float32) * (c ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(vf.dtype)

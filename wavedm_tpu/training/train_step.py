@@ -82,6 +82,24 @@ def prepare_wavelet_batch(
         [cond_w, gt_w[..., :m.pred_channels], hf], axis=-1)
 
 
+def prepare_global_batch(total: jax.Array, cfg: Config) -> jax.Array:
+    """Whole-image conditioning for the global-attention UNet
+    (``data.global_attn``).
+
+    Pixel path: ``data_transform(total)`` (reference models/ddm.py:226-229).
+    Wavelet path: additionally wavelet-decomposed into the UNet's working
+    domain -- the reference passes the raw 3-channel pixel tensor, which
+    CRASHES in ``global_conv_in`` (a ``model.in_channels``-wide conv,
+    models/unet.py:499, vs 3 input channels); decomposing to 48 channels is
+    the documented deviation that makes the flag actually usable
+    (see models/unet_global.py module docstring).
+    """
+    t = data_transform(total)
+    if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
+        t = wavelet_dec(t)
+    return t
+
+
 class StepMetrics(NamedTuple):
     loss: jax.Array          # eps loss (sum-pixels, mean-batch)
     mse_loss: jax.Array      # x0 MSE
@@ -117,15 +135,25 @@ def make_train_step(
     else:
         inp_channels = cfg.data.channels * (3 if cfg.data.use_fft else 1)
 
+    use_global = cfg.data.global_attn
+
     def prepare(x):
         if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
             return prepare_wavelet_batch(x, cfg, hfrm_fn)
         return prepare_pixel_batch(x, cfg)
 
-    def loss_fn(params, x_for_pred, t, e):
+    def loss_fn(params, x_for_pred, t, e, x_global):
+        if x_global is None:
+            fn = lambda xx, tt: model_apply({"params": params}, xx, tt)
+        else:
+            # global-attention UNet: whole-image tensor as the third input
+            # (reference noise_estimation_loss, models/ddm_wavelet.py:119);
+            # batch broadcast (one total per image vs patch_n crops) happens
+            # inside AttnGlobal.
+            fn = lambda xx, tt: model_apply(
+                {"params": params}, xx, tt, x_global)
         out = noise_estimation_loss(
-            lambda xx, tt: model_apply({"params": params}, xx, tt),
-            x_for_pred, t, e, betas,
+            fn, x_for_pred, t, e, betas,
             inp_channels=inp_channels,
             pred_channels=m.pred_channels,
             use_other_channels=m.use_other_channels,
@@ -133,7 +161,12 @@ def make_train_step(
         main = out.mse_loss if cfg.training.use_mse else out.simple_loss
         return main, out
 
-    def step_fn(state: TrainState, batch: jax.Array):
+    def step_fn(state: TrainState, batch):
+        if use_global:
+            batch, total = batch
+            x_global = prepare_global_batch(total, cfg)
+        else:
+            x_global = None
         rng, key_t, key_e = jax.random.split(state.rng, 3)
         x_for_pred = prepare(batch)
         n = x_for_pred.shape[0]
@@ -142,7 +175,7 @@ def make_train_step(
             key_e, x_for_pred.shape[:3] + (m.pred_channels,), jnp.float32)
 
         (main, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x_for_pred, t, e)
+            state.params, x_for_pred, t, e, x_global)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
@@ -170,8 +203,9 @@ def make_train_step(
     # it was created with (replicated, or FSDP via fsdp_param_shardings), and
     # XLA inserts the grad-allreduce / param-allgather collectives.
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh = (data_sh, data_sh) if use_global else data_sh
     return jax.jit(
         step_fn,
-        in_shardings=(None, data_sh),
+        in_shardings=(None, batch_sh),
         donate_argnums=(0,) if donate else (),
     )

@@ -45,15 +45,29 @@ class DiffusionTrainer:
                  hfrm_params=None, log_fn: Callable[[str], None] = print):
         self.cfg = cfg
         self.log = log_fn
-        self.model = DiffusionUNet.from_config(cfg)
+        if cfg.data.global_attn:
+            # reference builds DiffusionUNet_Global behind the same flag
+            # (models/ddm.py:140-143)
+            from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
+            self.model = DiffusionUNetGlobal.from_config(cfg)
+        else:
+            self.model = DiffusionUNet.from_config(cfg)
         self.mesh = make_mesh(cfg.parallel.data_axis) if use_mesh else None
 
         key = jax.random.PRNGKey(cfg.training.seed)
         key, init_key = jax.random.split(key)
         sample_shape = (1, cfg.data.image_size, cfg.data.image_size,
                         cfg.model.unet_in_channels)
-        params = jax.jit(self.model.init)(
-            init_key, jnp.zeros(sample_shape), jnp.zeros((1,)))["params"]
+        init_args = [jnp.zeros(sample_shape), jnp.zeros((1,))]
+        if cfg.data.global_attn:
+            # any spatial size that survives the stride-2 global chain works
+            # for param shapes; 8 * 2^(levels-1) is the minimum
+            gs = 8 * 2 ** (len(cfg.model.ch_mult) - 1)
+            gc = (cfg.model.in_channels
+                  if cfg.data.wavelet and not cfg.data.wavelet_in_unet
+                  else cfg.data.channels)
+            init_args.append(jnp.zeros((1, gs, gs, gc)))
+        params = jax.jit(self.model.init)(init_key, *init_args)["params"]
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(params))
         self.log(f"Total_params_model_real: {n_params / 1e6}M")
@@ -116,7 +130,8 @@ class DiffusionTrainer:
             for batch in batch_iter_fn(epoch):
                 data_time = time.time() - data_start
                 if self.mesh is not None:
-                    batch = shard_batch(jnp.asarray(batch), self.mesh)
+                    batch = shard_batch(
+                        jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 timer.start()
                 self.state, m = self.train_step(self.state, batch)
                 step = int(self.state.step)
