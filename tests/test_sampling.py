@@ -228,3 +228,28 @@ def test_tiled_chain_recovers_target_with_perfect_model():
                                atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(xf), np.asarray(x_tar),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_batched_sampler_matches_per_image():
+    """A batch of B images through one sampler call must equal B independent
+    single-image calls (the reference restores strictly one image per loop,
+    models/restoration.py:63-168; batching is the TPU-side extension)."""
+    h, w, p, r = 24, 32, 16, 8
+    seq = ddim_timesteps(100, 5)
+    rng = np.random.default_rng(7)
+    x0 = rng.standard_normal((3, h, w, 1)).astype(np.float32)
+    cond = rng.standard_normal((3, h, w, 2)).astype(np.float32)
+
+    sampler = make_overlapping_sampler(
+        _overlap_model, image_shape=(h, w), patch_size=p, grid_r=r,
+        seq=seq, betas=BETAS, pred_channels=1)
+    xf_b, x0s_b = sampler(jnp.asarray(x0), jnp.asarray(cond))
+    assert xf_b.shape == (3, h, w, 1)
+    assert x0s_b.shape == (5, 3, h, w, 1)
+    for i in range(3):
+        xf_1, x0s_1 = sampler(jnp.asarray(x0[i:i + 1]),
+                              jnp.asarray(cond[i:i + 1]))
+        np.testing.assert_allclose(np.asarray(xf_b[i]), np.asarray(xf_1[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x0s_b[:, i]),
+                                   np.asarray(x0s_1[:, 0]), atol=1e-5)

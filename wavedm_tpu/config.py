@@ -61,6 +61,18 @@ class DataConfig:
             raise ConfigError(
                 "lap is a pixel-path domain transform (the reference wires it "
                 "only in models/ddm.py:131-138); set wavelet: false")
+        if self.lap and self.use_fft:
+            raise ConfigError(
+                "lap + use_fft is untested in the reference (no shipped "
+                "config enables either) and unsupported here")
+        if self.lap and self.global_attn:
+            raise ConfigError(
+                "lap + global_attn is unsupported: the reference would feed "
+                "full-resolution global tokens to a quarter-resolution patch "
+                "stream; no shipped config composes them")
+        if self.lap and self.patch_size % 4 != 0:
+            raise ConfigError(
+                "lap path needs patch_size divisible by 4 (2-level pyramid)")
 
 
 @dataclass

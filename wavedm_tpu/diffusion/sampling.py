@@ -134,14 +134,18 @@ def make_overlapping_sampler(
     use_global: bool = False,
     patch_micro_batch: int = 0,
     jit_mode: str = "scan",
+    mesh=None,
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
 
     The returned function maps
-      (x_init (1,H,W,pred), x_cond (1,H,W,Cc), x_other (1,H,W,Co)|None, rng)
-      -> (x_final, x0_preds (T,1,H,W,pred))
+      (x_init (B,H,W,pred), x_cond (B,H,W,Cc), x_other (B,H,W,Co)|None, rng)
+      -> (x_final, x0_preds (T,B,H,W,pred))
     running the full chain on-device.  The reference equivalent is
-    ``generalized_steps_overlapping`` (models/ddm_wavelet.py:437-506).
+    ``generalized_steps_overlapping`` (models/ddm_wavelet.py:437-506) --
+    which is strictly 1 image/program; here a batch of B images denoises as
+    one (B*K)-patch UNet batch per step (image-major order), amortizing
+    dispatch and filling the chip.
 
     With ``use_global`` the sample fn takes an extra ``x_global``
     whole-image tensor handed to the model alongside every patch batch
@@ -149,6 +153,12 @@ def make_overlapping_sampler(
     models/ddm_wavelet.py:481-484) -- kept at batch 1 here; the model's
     AttnGlobal broadcasts its k/v tokens across the K patches instead of
     re-encoding a K-fold repeat.
+
+    With ``mesh`` (a 1-D data mesh) the K-patch batch is sharded over the
+    mesh's data axis: each device denoises its slice of the patch grid and
+    XLA inserts the collectives for the scatter-add recombination -- patch
+    parallelism for inference, a capability the reference (single-GPU eval,
+    eval_diffusion.py world_size=1) does not have.
     """
     h, w = image_shape
     p = patch_size
@@ -162,6 +172,17 @@ def make_overlapping_sampler(
     counts_np = jnp.asarray(_count_mask(corners, h, w, p))[None, :, :, None]
     t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
 
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from wavedm_tpu.parallel.mesh import DATA_AXIS
+        _patch_sh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+        def shard_patches(x):
+            return jax.lax.with_sharding_constraint(x, _patch_sh)
+    else:
+        def shard_patches(x):
+            return x
+
     def _index_grids(corners_a):
         ar = jnp.arange(p, dtype=jnp.int32)
         rows_j = corners_a[:, 0:1] + ar[None, :]
@@ -169,39 +190,44 @@ def make_overlapping_sampler(
         return rows_j, cols_j
 
     def gather_patches(img, corners_a):
-        # (1, H, W, C) -> (K, p, p, C)
+        # (B, H, W, C) -> (B*K, p, p, C), image-major patch order
         rows_j, cols_j = _index_grids(corners_a)
-        return img[0][rows_j[:, :, None], cols_j[:, None, :], :]
+        pat = img[:, rows_j[:, :, None], cols_j[:, None, :], :]
+        return pat.reshape((-1,) + pat.shape[2:])
 
     def apply_model(params, patches, t, x_global):
-        # patches: (K, p, p, Cin) -> eps (K, p, p, pred)
+        # patches: (N, p, p, Cin) -> eps (N, p, p, pred), N = B*K
+        n = patches.shape[0]
         call = (model_fn if params is None
                 else functools.partial(model_fn, params))
         if use_global:
             base = call
             call = lambda xx, tt: base(xx, tt, x_global)
-        if patch_micro_batch and K > patch_micro_batch:
+        if patch_micro_batch and n > patch_micro_batch:
             mb = patch_micro_batch
-            pad = (-K) % mb
+            pad = (-n) % mb
             padded = jnp.pad(patches, ((0, pad), (0, 0), (0, 0), (0, 0)))
             chunks = padded.reshape(-1, mb, p, p, patches.shape[-1])
             out = jax.lax.map(
                 lambda ch: call(ch, jnp.full((mb,), t)), chunks)
-            return out.reshape(-1, p, p, pred_channels)[:K]
-        return call(patches, jnp.full((K,), t))
+            return out.reshape(-1, p, p, pred_channels)[:n]
+        return call(patches, jnp.full((n,), t))
 
     def step(params, carry, per_step, cond_p, other_p, x_global,
              corners_a, counts_a):
         xt, key = carry
         t, a, a_nx, cc1, cc2 = per_step
+        b = xt.shape[0]
         xt_p = gather_patches(xt, corners_a)
         inp = [cond_p, xt_p] + ([other_p] if use_other else [])
-        et_p = apply_model(params, jnp.concatenate(inp, axis=-1), t, x_global)
-        # scatter-add the K noise estimates, normalize by coverage
+        et_p = apply_model(
+            params, shard_patches(jnp.concatenate(inp, axis=-1)), t, x_global)
+        # scatter-add the B*K noise estimates per image, normalize by coverage
         rows_j, cols_j = _index_grids(corners_a)
-        acc = jnp.zeros((h, w, pred_channels), et_p.dtype)
-        acc = acc.at[rows_j[:, :, None], cols_j[:, None, :], :].add(et_p)
-        et = acc[None] / counts_a
+        acc = jnp.zeros((b, h, w, pred_channels), et_p.dtype)
+        et_b = et_p.reshape(b, K, p, p, pred_channels)
+        acc = acc.at[:, rows_j[:, :, None], cols_j[:, None, :], :].add(et_b)
+        et = acc / counts_a
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
         key, sub = jax.random.split(key)
         noise = (jax.random.normal(sub, xt.shape, xt.dtype)
@@ -214,7 +240,9 @@ def make_overlapping_sampler(
         if use_fft:
             # per-patch FFT conditioning (reference utils/sampling.py:76-79)
             cond_p = fft_condition(cond_p)
-        other_p = gather_patches(x_other, corners_a) if use_other else None
+        cond_p = shard_patches(cond_p)
+        other_p = (shard_patches(gather_patches(x_other, corners_a))
+                   if use_other else None)
         return cond_p, other_p
 
     if jit_mode == "scan":

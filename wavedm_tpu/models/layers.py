@@ -45,24 +45,30 @@ def swish(x: jax.Array) -> jax.Array:
 
 
 class Normalize(nn.Module):
-    """GroupNorm(32, eps=1e-6) with affine (reference: models/unet.py:36-37)."""
+    """GroupNorm(32, eps=1e-6) with affine (reference: models/unet.py:36-37).
+
+    ``dtype`` is the COMPUTE dtype (params stay float32; flax normalization
+    always computes mean/var statistics in >= float32)."""
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         return nn.GroupNorm(num_groups=32, epsilon=1e-6, use_bias=True,
-                            use_scale=True, name="norm")(x)
+                            use_scale=True, dtype=self.dtype, name="norm")(x)
 
 
 class Upsample(nn.Module):
     """Nearest x2 upsample, optional 3x3 conv (reference: models/unet.py:40-56)."""
     with_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.with_conv:
-            x = nn.Conv(c, (3, 3), padding="SAME", name="conv")(x)
+            x = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="conv")(x)
         return x
 
 
@@ -70,13 +76,15 @@ class Downsample(nn.Module):
     """Stride-2 3x3 conv with the reference's asymmetric (0,1,0,1) pad
     (models/unet.py:59-78), or 2x2 average pool."""
     with_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             c = x.shape[-1]
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(c, (3, 3), strides=(2, 2), padding="VALID", name="conv")(x)
+            x = nn.Conv(c, (3, 3), strides=(2, 2), padding="VALID",
+                        dtype=self.dtype, name="conv")(x)
         else:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return x
@@ -89,47 +97,54 @@ class ResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
+        dt = self.dtype
 
-        h = Normalize(name="norm1")(x)
+        h = Normalize(dtype=dt, name="norm1")(x)
         h = swish(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv1")(h)
 
-        h = h + nn.Dense(out_ch, name="temb_proj")(swish(temb))[:, None, None, :]
+        h = h + nn.Dense(out_ch, dtype=dt,
+                         name="temb_proj")(swish(temb))[:, None, None, :]
 
-        h = Normalize(name="norm2")(h)
+        h = Normalize(dtype=dt, name="norm2")(h)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv2")(h)
 
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_shortcut")(x)
+                x = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt,
+                            name="conv_shortcut")(x)
             else:
-                x = nn.Conv(out_ch, (1, 1), name="nin_shortcut")(x)
+                x = nn.Conv(out_ch, (1, 1), dtype=dt, name="nin_shortcut")(x)
         return x + h
 
 
 class AttnBlock(nn.Module):
     """Full spatial self-attention with 1x1-conv projections
     (reference: models/unet.py:141-193).  Runs as one batched einsum chain;
-    only ever instantiated at small resolutions (attn_resolutions=[16])."""
+    only ever instantiated at small resolutions (attn_resolutions=[16]).
+    Logits accumulate in float32 regardless of compute dtype."""
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = Normalize(name="norm")(x)
-        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
+        dt = self.dtype
+        hn = Normalize(dtype=dt, name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=dt, name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=dt, name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=dt, name="v")(hn).reshape(b, h * w, c)
 
         attn = jnp.einsum("bqc,bkc->bqk", q, k,
                           preferred_element_type=jnp.float32) * (c ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
-        out = nn.Conv(c, (1, 1), name="proj_out")(out)
+        out = nn.Conv(c, (1, 1), dtype=dt, name="proj_out")(out)
         return x + out

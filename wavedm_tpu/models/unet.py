@@ -22,7 +22,7 @@ for HBM when training at large batch.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +64,14 @@ def depth_to_space(x: jax.Array, p: int) -> jax.Array:
 
 class TimestepMLP(nn.Module):
     ch: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, t):
         temb = get_timestep_embedding(t, self.ch)
-        temb = nn.Dense(self.ch * 4, name="dense0")(temb)
+        temb = nn.Dense(self.ch * 4, dtype=self.dtype, name="dense0")(temb)
         temb = swish(temb)
-        temb = nn.Dense(self.ch * 4, name="dense1")(temb)
+        temb = nn.Dense(self.ch * 4, dtype=self.dtype, name="dense1")(temb)
         return temb
 
 
@@ -125,11 +126,23 @@ class DiffusionUNet(nn.Module):
             x = jnp.concatenate(
                 [wavelet_dec(x[..., :3]), wavelet_dec(x[..., 3:])], axis=-1)
 
-        assert x.shape[1] == x.shape[2] == self.resolution, (
-            f"expected {self.resolution}^2 input, got {x.shape}")
+        # The reference asserts H == W == config.data.image_size
+        # (models/unet.py:347), which CRASHES its own lap path: with
+        # ``data.lap`` the UNet trains on the coarse pyramid level at
+        # image_size/4 (models/ddm.py:186-188, 230-232).  Relaxed to
+        # square-input here so the lap path is actually runnable; attention
+        # placement stays keyed to the configured resolution's halving chain
+        # (identical parameter structure either way).
+        assert x.shape[1] == x.shape[2], (
+            f"expected square input, got {x.shape}")
 
+        # compute dtype threads through EVERY layer (flax default dtype=None
+        # would silently promote bf16 activations back to f32 against the
+        # f32 params -- i.e. the bf16 flag would be a no-op)
+        dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         x = x.astype(self.compute_dtype)
-        temb = TimestepMLP(self.ch, name="temb")(t).astype(self.compute_dtype)
+        temb = TimestepMLP(self.ch, dtype=dt,
+                           name="temb")(t).astype(self.compute_dtype)
 
         block_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
@@ -137,28 +150,30 @@ class DiffusionUNet(nn.Module):
         curr_res = self.resolution
 
         # downsampling
-        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in")(x)]
+        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", dtype=dt,
+                      name="conv_in")(x)]
         for i_level in range(num_levels):
             for i_block in range(self.num_res_blocks):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
-                    dropout=self.dropout,
+                    dropout=self.dropout, dtype=dt,
                     name=f"down_{i_level}_block_{i_block}",
                 )(hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(dtype=dt,
+                                  name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_levels - 1:
-                hs.append(Downsample(self.resamp_with_conv,
+                hs.append(Downsample(self.resamp_with_conv, dtype=dt,
                                      name=f"down_{i_level}_downsample")(hs[-1]))
                 curr_res //= 2
 
         # middle
         h = hs[-1]
-        h = block_cls(dropout=self.dropout, name="mid_block_1")(
+        h = block_cls(dropout=self.dropout, dtype=dt, name="mid_block_1")(
             h, temb, deterministic=deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = block_cls(dropout=self.dropout, name="mid_block_2")(
+        h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
+        h = block_cls(dropout=self.dropout, dtype=dt, name="mid_block_2")(
             h, temb, deterministic=deterministic)
 
         # upsampling (num_res_blocks + 1 blocks per level, skip-concat)
@@ -166,21 +181,23 @@ class DiffusionUNet(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
-                    dropout=self.dropout,
+                    dropout=self.dropout, dtype=dt,
                     name=f"up_{i_level}_block_{i_block}",
                 )(jnp.concatenate([h, hs.pop()], axis=-1), temb,
                   deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(dtype=dt,
+                                  name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(self.resamp_with_conv,
+                h = Upsample(self.resamp_with_conv, dtype=dt,
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
         assert not hs
 
-        h = Normalize(name="norm_out")(h)
+        h = Normalize(dtype=dt, name="norm_out")(h)
         h = swish(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=dt,
+                    name="conv_out")(h)
         h = h.astype(jnp.float32)
 
         if self.use_window:

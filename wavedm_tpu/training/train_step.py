@@ -11,6 +11,9 @@ into this parameterisation):
   pixel    -- identity (reference models/ddm.py path)
   wavelet  -- 2-level Haar packet on cond and target
               (reference models/ddm_wavelet.py:192-198, 227-250)
+  lap      -- 2-level Gauss pyramid; diffusion on the coarsest level while a
+              learned high-frequency translator co-trains with its own Adam
+              (reference models/ddm.py:131-138, 195-204, 230-232)
 """
 
 from __future__ import annotations
@@ -105,6 +108,7 @@ class StepMetrics(NamedTuple):
     mse_loss: jax.Array      # x0 MSE
     loss_per_pixel: jax.Array
     grad_norm: jax.Array
+    loss_trans: jax.Array = 0.0  # lap translator MSE (lap path only)
 
 
 def make_train_step(
@@ -161,14 +165,11 @@ def make_train_step(
         main = out.mse_loss if cfg.training.use_mse else out.simple_loss
         return main, out
 
-    def step_fn(state: TrainState, batch):
-        if use_global:
-            batch, total = batch
-            x_global = prepare_global_batch(total, cfg)
-        else:
-            x_global = None
+    def diffusion_update(state: TrainState, x_for_pred, x_global,
+                         loss_trans=0.0):
+        """The shared diffusion half of a step: t/e draws, eps-loss grads,
+        optimizer, EMA."""
         rng, key_t, key_e = jax.random.split(state.rng, 3)
-        x_for_pred = prepare(batch)
         n = x_for_pred.shape[0]
         t = antithetic_timesteps(key_t, n, num_timesteps)
         e = jax.random.normal(
@@ -191,8 +192,61 @@ def make_train_step(
             loss_per_pixel=out.simple_loss / num_of_pixel,
             grad_norm=jnp.sqrt(sum(jnp.sum(jnp.square(g))
                                    for g in jax.tree_util.tree_leaves(grads))),
+            loss_trans=loss_trans,
         )
         return new_state, metrics
+
+    if cfg.data.lap:
+        # Lap domain: diffusion on the coarsest pyramid level; the learned
+        # high-frequency translator takes its own Adam step on per-level MSEs
+        # in the same compiled program (reference models/ddm.py:195-204,
+        # 230-232; LR is the per-epoch cosine value passed by the trainer).
+        from wavedm_tpu.models.laplacian import LaplacianPyramid
+        from wavedm_tpu.training.lap import (
+            LAP_NUM_HIGH, LapState, make_lap_model, make_lap_optimizer)
+        lap_pyr_op = LaplacianPyramid(LAP_NUM_HIGH)
+        lap_model = make_lap_model()
+        lap_tx = make_lap_optimizer()
+
+        def lap_step_fn(state: TrainState, lap_state, batch, lap_lr):
+            x = data_transform(batch)  # (B, P, P, 6) [cond|gt]
+            pyr = lap_pyr_op.decompose(x)
+
+            def lap_loss_fn(lp):
+                trans = lap_model.apply(
+                    {"params": lp}, [lvl[..., :3] for lvl in pyr])
+                return sum(jnp.mean(jnp.square(trans[l] - pyr[l][..., 3:]))
+                           for l in range(LAP_NUM_HIGH))
+
+            loss_trans, lap_grads = jax.value_and_grad(lap_loss_fn)(
+                lap_state.params)
+            lap_updates, lap_opt = lap_tx.update(
+                lap_grads, lap_state.opt_state, lap_state.params)
+            lap_params = jax.tree_util.tree_map(
+                lambda p, u: p - lap_lr * u, lap_state.params, lap_updates)
+            new_lap = LapState(params=lap_params, opt_state=lap_opt)
+
+            new_state, metrics = diffusion_update(
+                state, pyr[-1], None, loss_trans)
+            return new_state, new_lap, metrics
+
+        if mesh is None or mesh.size == 1:
+            return jax.jit(lap_step_fn,
+                           donate_argnums=(0, 1) if donate else ())
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(
+            lap_step_fn,
+            in_shardings=(None, None, data_sh, None),
+            donate_argnums=(0, 1) if donate else (),
+        )
+
+    def step_fn(state: TrainState, batch):
+        if use_global:
+            batch, total = batch
+            x_global = prepare_global_batch(total, cfg)
+        else:
+            x_global = None
+        return diffusion_update(state, prepare(batch), x_global)
 
     if mesh is None or mesh.size == 1:
         # A 1-device mesh gains nothing from explicit shardings (and the

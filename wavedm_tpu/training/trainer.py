@@ -74,6 +74,14 @@ class DiffusionTrainer:
         self.state = create_train_state(params, cfg.optim, key)
         self.epoch = 0
 
+        self.lap_state = None
+        if cfg.data.lap:
+            # co-trained high-frequency translator with its own Adam +
+            # per-epoch cosine LR (reference models/ddm.py:131-138)
+            from wavedm_tpu.training.lap import create_lap_state
+            key, lap_key = jax.random.split(key)
+            _, self.lap_state = create_lap_state(lap_key, cfg.data.patch_size)
+
         hfrm_fn = None
         needs_hfrm = (cfg.data.wavelet and cfg.model.use_other_channels
                       and not cfg.model.use_gt_in_train)
@@ -94,10 +102,22 @@ class DiffusionTrainer:
     # ------------------------------------------------------------------ ckpt
 
     def save(self, path: str) -> None:
-        save_checkpoint(path, self.state, epoch=self.epoch)
+        # unlike the reference, the lap translator IS checkpointed: the
+        # reference saves no 'lap_state_dict' (commented out,
+        # models/ddm.py:273) yet load_ddm_ckpt reads it (models/ddm.py:178)
+        # -- resuming a lap run there crashes with KeyError
+        extra_arrays = ({"lap": self.lap_state}
+                        if self.lap_state is not None else None)
+        save_checkpoint(path, self.state, epoch=self.epoch,
+                        extra_arrays=extra_arrays)
 
     def resume(self, path: str) -> None:
-        self.state, meta = load_checkpoint(path, self.state)
+        extras_template = ({"lap": self.lap_state}
+                           if self.lap_state is not None else None)
+        self.state, meta, extras = load_checkpoint(
+            path, self.state, extras_template=extras_template)
+        if self.lap_state is not None and "lap" in extras:
+            self.lap_state = extras["lap"]
         self.epoch = int(meta.get("epoch", 0))
         self.log(f"=> loaded checkpoint '{path}' "
                  f"(epoch {self.epoch}, step {int(self.state.step)})")
@@ -133,7 +153,13 @@ class DiffusionTrainer:
                     batch = shard_batch(
                         jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 timer.start()
-                self.state, m = self.train_step(self.state, batch)
+                if self.lap_state is not None:
+                    from wavedm_tpu.training.lap import lap_lr_for_epoch
+                    lap_lr = lap_lr_for_epoch(epoch, cfg.training.n_epochs)
+                    self.state, self.lap_state, m = self.train_step(
+                        self.state, self.lap_state, batch, lap_lr)
+                else:
+                    self.state, m = self.train_step(self.state, batch)
                 step = int(self.state.step)
                 if step % 10 == 0:
                     timer.stop(sync_on=m.loss)
@@ -144,13 +170,15 @@ class DiffusionTrainer:
                         (cfg.model.pred_channels * cfg.data.image_size ** 2),
                         data_time=data_time, step_time=timer.times[-1])
                     history.append(entry)
+                    lap_note = (f", loss_trans: {float(m.loss_trans):.5f}"
+                                if self.lap_state is not None else "")
                     self.log(
                         f"step: {entry.step}, loss: {entry.loss:.2f}, "
                         f"loss/px: {entry.loss_per_pixel:.5f}, "
                         f"mse/px: {entry.mse_per_pixel:.5f}, "
                         f"step time: {entry.step_time:.3f}s "
                         f"(avg {timer.mean:.3f}s), "
-                        f"data time: {entry.data_time:.3f}s")
+                        f"data time: {entry.data_time:.3f}s" + lap_note)
                     if mlog is not None:
                         mlog.log(step, loss=entry.loss,
                                  loss_per_pixel=entry.loss_per_pixel,

@@ -33,8 +33,12 @@ def _ckpt_dir(path: str) -> str:
 
 
 def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
-    """Write array state + {epoch, **extra} metadata to ``path``."""
+                    extra: Optional[Dict[str, Any]] = None,
+                    extra_arrays: Optional[Dict[str, Any]] = None) -> None:
+    """Write array state + {epoch, **extra} metadata to ``path``.
+
+    ``extra_arrays``: additional named pytrees checkpointed atomically with
+    the train state (e.g. the lap translator's params/opt-state)."""
     if jax.process_index() != 0:
         return
     payload = {
@@ -44,6 +48,10 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0,
         "step": state.step,
         "rng": state.rng,
     }
+    for k, v in (extra_arrays or {}).items():
+        if k in payload:
+            raise ValueError(f"extra_arrays key {k!r} collides with state")
+        payload[k] = v
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_ckpt_dir(path), payload, force=True)
     meta = {"epoch": int(epoch)}
@@ -68,10 +76,12 @@ def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return max(candidates, key=os.path.getmtime)
 
 
-def load_checkpoint(path: str, state_template: Optional[TrainState] = None
-                    ) -> Tuple[TrainState, Dict[str, Any]]:
+def load_checkpoint(path: str, state_template: Optional[TrainState] = None,
+                    extras_template: Optional[Dict[str, Any]] = None):
     """Load a checkpoint.  With a template, arrays are restored with the
-    template's shardings/dtypes; returns (TrainState, meta)."""
+    template's shardings/dtypes; returns (TrainState, meta), or
+    (TrainState, meta, extras) when ``extras_template`` is given (matching
+    ``save_checkpoint``'s ``extra_arrays``)."""
     ckptr = ocp.PyTreeCheckpointer()
     if state_template is None:
         payload = ckptr.restore(_ckpt_dir(path))
@@ -83,6 +93,8 @@ def load_checkpoint(path: str, state_template: Optional[TrainState] = None
             "step": state_template.step,
             "rng": state_template.rng,
         }
+        for k, v in (extras_template or {}).items():
+            template[k] = v
         payload = ckptr.restore(_ckpt_dir(path), item=template)
     state = TrainState(
         params=payload["params"], opt_state=payload["opt_state"],
@@ -92,4 +104,7 @@ def load_checkpoint(path: str, state_template: Optional[TrainState] = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    return state, meta
+    if extras_template is None:
+        return state, meta
+    extras = {k: payload[k] for k in extras_template if k in payload}
+    return state, meta, extras
