@@ -88,3 +88,65 @@ def test_missing_file_raises(image_pair):
             [pi], ["/nonexistent/x.png"], patch_n=1, patch=8, seed=0)
     with pytest.raises(IOError):
         native_loader.decode_image("/nonexistent/x.png")
+
+
+@pytest.fixture(scope="module")
+def coord_pair(tmp_path_factory):
+    """Image pair whose pixel values ENCODE their coordinates (R=y, G=x),
+    so a crop's top-left corner can be recovered from its first pixel."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("coords")
+    h, w = 40, 64
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[..., 0] = np.arange(h)[:, None]
+    arr[..., 1] = np.arange(w)[None, :]
+    pi, pg = str(d / "inp.png"), str(d / "gt.png")
+    Image.fromarray(arr).save(pi)
+    Image.fromarray(arr).save(pg)
+    return pi, pg, h, w
+
+
+def _native_corners(pi, pg, h, w, p, seeds, patch_n=8):
+    ys, xs = [], []
+    for seed in seeds:
+        b = native_loader.make_crop_batch([pi], [pg], patch_n=patch_n,
+                                          patch=p, seed=seed)
+        ys.extend(np.round(b[:, 0, 0, 0] * 255).astype(int))
+        xs.extend(np.round(b[:, 0, 0, 1] * 255).astype(int))
+    return np.array(ys), np.array(xs)
+
+
+def test_crop_rng_statistical_equivalence_with_pil(coord_pair):
+    """VERDICT r1 #9: native crop coordinates must match the PIL path's
+    statistics -- uniform over the valid window, high diversity -- not just
+    decode parity.  Bounds are loose enough to be flake-free (n=400)."""
+    pi, pg, h, w, p = *coord_pair, 16
+    n_seeds = 50
+    ys, xs = _native_corners(pi, pg, h, w, p, seeds=range(n_seeds))
+    assert ys.min() >= 0 and ys.max() <= h - p
+    assert xs.min() >= 0 and xs.max() <= w - p
+    # PIL-path reference statistics from the same number of draws
+    rng = np.random.default_rng(0)
+    ys_ref = rng.integers(0, h - p + 1, ys.size)
+    xs_ref = rng.integers(0, w - p + 1, xs.size)
+    # mean within 15% of the window, matching the PIL draw's behavior
+    assert abs(ys.mean() - (h - p) / 2) < 0.15 * (h - p), ys.mean()
+    assert abs(xs.mean() - (w - p) / 2) < 0.15 * (w - p), xs.mean()
+    assert abs(ys.std() - ys_ref.std()) < 0.25 * ys_ref.std()
+    assert abs(xs.std() - xs_ref.std()) < 0.25 * xs_ref.std()
+    # diversity: most (y,x) pairs distinct (the pre-fix per-slot stream
+    # repeated identical coordinates across every batch of an epoch)
+    uniq = len({(int(a), int(b)) for a, b in zip(ys, xs)})
+    assert uniq > 0.5 * ys.size, uniq
+
+
+def test_crop_rng_differs_across_batches_within_epoch(coord_pair):
+    """The pipeline folds (seed, epoch, batch-start) into the native seed
+    (data/raindrop.py): two batch starts must give different crops."""
+    pi, pg, h, w = coord_pair
+    p, seed, epoch = 16, 61, 0
+    base = (seed * 100003 + epoch)
+    y0, x0 = _native_corners(pi, pg, h, w, p, seeds=[base * 1000003 + 0])
+    y1, x1 = _native_corners(pi, pg, h, w, p, seeds=[base * 1000003 + 1])
+    assert not (np.array_equal(y0, y1) and np.array_equal(x0, x1))

@@ -84,3 +84,41 @@ def test_x0_pred_index_changes_output(pipeline, rng):
                               restorer.hfrm_apply, restorer.hfrm_params)
     b, _ = r2.restore_image(cond, jax.random.PRNGKey(0))
     assert np.abs(a - b).max() > 0
+
+
+def test_whole_image_mode(pipeline, rng):
+    """sampling.whole_image runs the non-tiled generalized_steps chain
+    (reference utils/sampling.py:23-44) with reflect-pad to the UNet's
+    divisibility; at a single-patch geometry it must equal the tiled
+    sampler's final x_t (at eta=0, abar[0]=1 makes x_final == x0_preds[-1],
+    so tiled x0_pred_index=-1 is the same tensor)."""
+    import copy
+
+    cfg, _ = pipeline
+    key = jax.random.PRNGKey(0)
+    unet = DiffusionUNet.from_config(cfg)
+    uparams = unet.init(key, jnp.zeros((1, 8, 8, 96)), jnp.zeros((1,)))["params"]
+    hfrm = HFRM(dim=8, mid_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+    hparams = hfrm.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+
+    # 32x32 pixels -> 8x8 wavelet domain == patch size -> K=1 tile
+    cond = rng.random((32, 32, 3)).astype(np.float32)
+    r_tiled = DiffusiveRestoration(cfg, unet.apply, uparams,
+                                   hfrm.apply, hparams)
+    out_tiled, _ = r_tiled.restore_image(cond, jax.random.PRNGKey(7))
+
+    cfg_w = copy.deepcopy(cfg)
+    cfg_w.sampling.whole_image = True
+    r_whole = DiffusiveRestoration(cfg_w, unet.apply, uparams,
+                                   hfrm.apply, hparams)
+    out_whole, _ = r_whole.restore_image(cond, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(out_whole, out_tiled, atol=1e-5)
+
+    # non-divisible geometry exercises the reflect-pad path (the reference
+    # whole-image path crashes there): 40x56 pixels -> 10x14 wavelet domain,
+    # ch_mult (1,2) needs /2
+    cond2 = rng.random((40, 56, 3)).astype(np.float32)
+    out2, _ = r_whole.restore_image(cond2)
+    assert out2.shape == (1, 40, 56, 3)
+    assert np.isfinite(out2).all()
+    assert out2.min() >= 0.0 and out2.max() <= 1.0

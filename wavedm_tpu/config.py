@@ -163,6 +163,12 @@ class SamplingConfig:
     patch_micro_batch: int = 0    # 0 = all patches in one vmapped forward
     jit_mode: str = "scan"        # "scan": whole chain one program;
                                   # "step": one program per DDIM step
+    # Whole-image (non-tiled) DDIM eval: the reference's generalized_steps
+    # (utils/sampling.py:23-44, reachable via sample_image(patch_locs=None)).
+    # Output is the final x_t (reference last=True), not x0_preds[-5].
+    # The image is reflect-padded to the UNet's divisibility requirement and
+    # cropped back (the reference crashes on non-divisible sizes).
+    whole_image: bool = False
 
     def validate(self) -> None:
         if self.sampling_timesteps < 1:

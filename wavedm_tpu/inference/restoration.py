@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wavedm_tpu.config import Config
-from wavedm_tpu.diffusion.sampling import make_overlapping_sampler
+from wavedm_tpu.diffusion.sampling import ddim_sample, make_overlapping_sampler
 from wavedm_tpu.diffusion.schedules import ddim_timesteps, get_beta_schedule
 from wavedm_tpu.ops.wavelet import wavelet_dec, wavelet_rec
 from wavedm_tpu.training.train_step import data_transform, inverse_data_transform
@@ -60,6 +60,81 @@ class DiffusiveRestoration:
                                   cfg.sampling.sampling_timesteps)
         self._restore_fns: Dict[Tuple[int, int], Callable] = {}
 
+    def _make_sampler(self, h: int, w: int, *, use_other: bool,
+                      use_fft: bool = False, use_global: bool = False):
+        """Tiled sampler for (h, w) -- or, with ``sampling.whole_image``, the
+        reference's non-tiled ``generalized_steps`` (utils/sampling.py:23-44)
+        with reflect-padding to the UNet's 2^(levels-1) divisibility (the
+        reference crashes on non-divisible whole images).  Both return
+        (x_final, x0_preds) with identical calling conventions."""
+        cfg = self.cfg
+        if cfg.data.global_attn:
+            model_fn = lambda params, x, t, g: self.unet_apply(
+                {"params": params}, x, t, g)
+        else:
+            model_fn = lambda params, x, t: self.unet_apply(
+                {"params": params}, x, t)
+        if not cfg.sampling.whole_image:
+            return make_overlapping_sampler(
+                model_fn,
+                image_shape=(h, w),
+                patch_size=cfg.data.image_size,
+                grid_r=cfg.sampling.grid_r,
+                seq=self.seq,
+                betas=self.betas,
+                pred_channels=cfg.model.pred_channels,
+                eta=cfg.sampling.eta,
+                use_other=use_other,
+                use_fft=use_fft,
+                use_global=use_global,
+                patch_micro_batch=cfg.sampling.patch_micro_batch,
+                jit_mode=cfg.sampling.jit_mode,
+            )
+        if use_global:
+            raise ValueError(
+                "whole_image + global_attn is redundant (the global branch "
+                "injects whole-image context into tiles); disable one")
+        div = 2 ** (len(cfg.model.ch_mult) - 1)
+        ph, pw = (-h) % div, (-w) % div
+        eta = cfg.sampling.eta
+
+        @jax.jit
+        def whole_chain(params, x_init, x_cond, x_other, rng):
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            x_p = jnp.pad(x_init, pad, mode="reflect")
+            cond_p = jnp.pad(x_cond, pad, mode="reflect")
+            if use_fft:
+                from wavedm_tpu.diffusion.sampling import fft_condition
+                cond_p = fft_condition(cond_p)
+            oth_p = (jnp.pad(x_other, pad, mode="reflect")
+                     if use_other else None)
+
+            def fn(xx, tt):
+                # ddim_sample hands us [cond | xt]; append the HF channels
+                inp = (jnp.concatenate([xx, oth_p], axis=-1)
+                       if oth_p is not None else xx)
+                return model_fn(params, inp, tt)
+
+            x_final, x0s = ddim_sample(fn, x_p, cond_p, self.seq,
+                                       self.betas, eta=eta, rng=rng)
+            return x_final[:, :h, :w], x0s[:, :, :h, :w]
+
+        def sample(x_init, x_cond, x_other=None, rng=None, params=None,
+                   x_global=None):
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            return whole_chain(params, x_init, x_cond, x_other, rng)
+
+        return sample
+
+    def _select_output(self, x_final, x0_preds):
+        """Tiled path: the x0 estimate at ``x0_pred_index`` (reference
+        models/restoration.py:108).  Whole-image path: the final x_t
+        (reference sample_image last=True, models/ddm_wavelet.py:301-303)."""
+        if self.cfg.sampling.whole_image:
+            return x_final
+        return x0_preds[self.cfg.sampling.x0_pred_index]
+
     # ---------------------------------------------------------------- wavelet
 
     def _build_wavelet_restore(self, h: int, w: int) -> Callable:
@@ -78,27 +153,8 @@ class DiffusiveRestoration:
         hw, ww = h // 4, w // 4
         # params flow through as jit ARGUMENTS (closures would embed the
         # 156M-param tree as HLO constants -- oversized compile payloads)
-        if cfg.data.global_attn:
-            model_fn = lambda params, x, t, g: self.unet_apply(
-                {"params": params}, x, t, g)
-        else:
-            model_fn = lambda params, x, t: self.unet_apply(
-                {"params": params}, x, t)
-        sampler = make_overlapping_sampler(
-            model_fn,
-            image_shape=(hw, ww),
-            patch_size=cfg.data.image_size,
-            grid_r=cfg.sampling.grid_r,
-            seq=self.seq,
-            betas=self.betas,
-            pred_channels=m.pred_channels,
-            eta=cfg.sampling.eta,
-            use_other=m.use_other_channels,
-            use_global=cfg.data.global_attn,
-            patch_micro_batch=cfg.sampling.patch_micro_batch,
-            jit_mode=cfg.sampling.jit_mode,
-        )
-        x0_idx = cfg.sampling.x0_pred_index
+        sampler = self._make_sampler(hw, ww, use_other=m.use_other_channels,
+                                     use_global=cfg.data.global_attn)
 
         @jax.jit
         def prep(hfrm_params, cond_pixel, rng):
@@ -118,8 +174,7 @@ class DiffusiveRestoration:
             return cond_w, hfrm_w, x_init, key_s, restored
 
         @jax.jit
-        def recombine(x0_preds, hfrm_w):
-            x_output_ll = x0_preds[x0_idx]
+        def recombine(x_output_ll, hfrm_w):
             full = jnp.concatenate(
                 [x_output_ll[..., :m.pred_channels],
                  hfrm_w[..., m.pred_channels:]], axis=-1)
@@ -136,10 +191,11 @@ class DiffusiveRestoration:
             # datasets/raindrop.py:121-122), wavelet-decomposed into the
             # UNet's domain (see prepare_global_batch).
             x_global = cond_w if cfg.data.global_attn else None
-            _, x0_preds = sampler(x_init, cond_w, x_other, key_s,
-                                  params=self.unet_params,
-                                  x_global=x_global)
-            return recombine(x0_preds, hfrm_w), restored
+            x_final, x0_preds = sampler(x_init, cond_w, x_other, key_s,
+                                        params=self.unet_params,
+                                        x_global=x_global)
+            sel = self._select_output(x_final, x0_preds)
+            return recombine(sel, hfrm_w), restored
 
         return restore
 
@@ -147,28 +203,9 @@ class DiffusiveRestoration:
 
     def _build_pixel_restore(self, h: int, w: int) -> Callable:
         cfg = self.cfg
-        if cfg.data.global_attn:
-            model_fn = lambda params, x, t, g: self.unet_apply(
-                {"params": params}, x, t, g)
-        else:
-            model_fn = lambda params, x, t: self.unet_apply(
-                {"params": params}, x, t)
-        sampler = make_overlapping_sampler(
-            model_fn,
-            image_shape=(h, w),
-            patch_size=cfg.data.image_size,
-            grid_r=cfg.sampling.grid_r,
-            seq=self.seq,
-            betas=self.betas,
-            pred_channels=cfg.model.pred_channels,
-            eta=cfg.sampling.eta,
-            use_other=False,
-            use_fft=cfg.data.use_fft,
-            use_global=cfg.data.global_attn,
-            patch_micro_batch=cfg.sampling.patch_micro_batch,
-            jit_mode=cfg.sampling.jit_mode,
-        )
-        x0_idx = cfg.sampling.x0_pred_index
+        sampler = self._make_sampler(h, w, use_other=False,
+                                     use_fft=cfg.data.use_fft,
+                                     use_global=cfg.data.global_attn)
 
         @jax.jit
         def prep(cond_pixel, rng):
@@ -183,10 +220,11 @@ class DiffusiveRestoration:
             # (reference ``total`` at eval is the same resized input,
             # models/ddm.py:380-388)
             x_global = cond_n if cfg.data.global_attn else None
-            _, x0_preds = sampler(x_init, cond_n, None, key_s,
-                                  params=self.unet_params,
-                                  x_global=x_global)
-            return inverse_data_transform(x0_preds[x0_idx]), cond_pixel
+            x_final, x0_preds = sampler(x_init, cond_n, None, key_s,
+                                        params=self.unet_params,
+                                        x_global=x_global)
+            sel = self._select_output(x_final, x0_preds)
+            return inverse_data_transform(sel), cond_pixel
 
         return restore
 
@@ -207,21 +245,7 @@ class DiffusiveRestoration:
         from wavedm_tpu.training.lap import LAP_NUM_HIGH
         lap = LaplacianPyramid(LAP_NUM_HIGH)
         ch, cw = h // 4, w // 4
-        model_fn = lambda params, x, t: self.unet_apply({"params": params}, x, t)
-        sampler = make_overlapping_sampler(
-            model_fn,
-            image_shape=(ch, cw),
-            patch_size=cfg.data.image_size,
-            grid_r=cfg.sampling.grid_r,
-            seq=self.seq,
-            betas=self.betas,
-            pred_channels=cfg.model.pred_channels,
-            eta=cfg.sampling.eta,
-            use_other=False,
-            patch_micro_batch=cfg.sampling.patch_micro_batch,
-            jit_mode=cfg.sampling.jit_mode,
-        )
-        x0_idx = cfg.sampling.x0_pred_index
+        sampler = self._make_sampler(ch, cw, use_other=False)
 
         @jax.jit
         def prep(pair_pixel, rng):
@@ -243,9 +267,10 @@ class DiffusiveRestoration:
 
         def restore(pair_pixel, rng):
             pyr, cond_coarse, gt_lowf, x_init, key_s = prep(pair_pixel, rng)
-            _, x0_preds = sampler(x_init, cond_coarse, None, key_s,
-                                  params=self.unet_params)
-            out = recombine(pyr[:-1], x0_preds[x0_idx], gt_lowf)
+            x_final, x0_preds = sampler(x_init, cond_coarse, None, key_s,
+                                        params=self.unet_params)
+            sel = self._select_output(x_final, x0_preds)
+            out = recombine(pyr[:-1], sel, gt_lowf)
             return out, pair_pixel[..., :3]
 
         return restore

@@ -127,14 +127,16 @@ class DiffusionUNet(nn.Module):
                 [wavelet_dec(x[..., :3]), wavelet_dec(x[..., 3:])], axis=-1)
 
         # The reference asserts H == W == config.data.image_size
-        # (models/unet.py:347), which CRASHES its own lap path: with
-        # ``data.lap`` the UNet trains on the coarse pyramid level at
-        # image_size/4 (models/ddm.py:186-188, 230-232).  Relaxed to
-        # square-input here so the lap path is actually runnable; attention
-        # placement stays keyed to the configured resolution's halving chain
-        # (identical parameter structure either way).
-        assert x.shape[1] == x.shape[2], (
-            f"expected square input, got {x.shape}")
+        # (models/unet.py:347), which CRASHES its own lap path (coarse
+        # pyramid level at image_size/4, models/ddm.py:186-188, 230-232) and
+        # its whole-image path on non-square images.  The REAL constraint is
+        # the skip-concat divisibility of the down/up chain -- assert that
+        # instead; attention placement stays keyed to the configured
+        # resolution's halving chain (identical parameter structure).
+        div = 2 ** (len(self.ch_mult) - 1)
+        assert x.shape[1] % div == 0 and x.shape[2] % div == 0, (
+            f"input dims {x.shape[1]}x{x.shape[2]} must be divisible by "
+            f"{div} (2^(levels-1)) for the skip-concat chain")
 
         # compute dtype threads through EVERY layer (flax default dtype=None
         # would silently promote bf16 activations back to f32 against the
