@@ -291,11 +291,17 @@ class DiffusiveRestoration:
         at eval (models/ddm.py:329-336)."""
         if cond_pixel.ndim == 3:
             cond_pixel = cond_pixel[None]
-        h, w = cond_pixel.shape[1:3]
+        out, aux = self.restore_image_device(cond_pixel, rng)
+        # only the restored image is fetched to host; the aux tensor (HFRM
+        # output / cond passthrough) stays on device -- np.asarray it if
+        # needed (fetching both doubled the host-transfer cost per image)
+        return np.asarray(out), aux
+
+    def _get_restore_fn(self, h: int, w: int, nch: int) -> Callable:
         key = (h, w)
         if key not in self._restore_fns:
             if self.cfg.data.lap:
-                if cond_pixel.shape[-1] != 6:
+                if nch != 6:
                     raise ValueError(
                         "lap restoration needs the 6-channel [cond|gt] pair")
                 self._restore_fns[key] = self._build_lap_restore(h, w)
@@ -305,10 +311,20 @@ class DiffusiveRestoration:
                 self._restore_fns[key] = self._build_wavelet_restore(h, w)
             else:
                 self._restore_fns[key] = self._build_pixel_restore(h, w)
+        return self._restore_fns[key]
+
+    def restore_image_device(self, cond_pixel, rng=None):
+        """Same as restore_image but returns DEVICE arrays with no host
+        transfer -- the timing-honest entry point for benchmarks and for
+        callers composing further on-device work."""
+        if cond_pixel.ndim == 3:
+            cond_pixel = cond_pixel[None]
+        fn = self._get_restore_fn(int(cond_pixel.shape[1]),
+                                  int(cond_pixel.shape[2]),
+                                  int(cond_pixel.shape[-1]))
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.training.seed)
-        out, aux = self._restore_fns[key](jnp.asarray(cond_pixel), rng)
-        return np.asarray(out), np.asarray(aux)
+        return fn(jnp.asarray(cond_pixel), rng)
 
     def restore(self, samples: Iterable[Tuple[np.ndarray, str]],
                 save_dir: Optional[str] = None,

@@ -112,12 +112,13 @@ class DiffusionTrainer:
                         extra_arrays=extra_arrays)
 
     def resume(self, path: str) -> None:
-        extras_template = ({"lap": self.lap_state}
-                           if self.lap_state is not None else None)
-        self.state, meta, extras = load_checkpoint(
-            path, self.state, extras_template=extras_template)
-        if self.lap_state is not None and "lap" in extras:
-            self.lap_state = extras["lap"]
+        if self.lap_state is not None:
+            self.state, meta, extras = load_checkpoint(
+                path, self.state, extras_template={"lap": self.lap_state})
+            if "lap" in extras:
+                self.lap_state = extras["lap"]
+        else:
+            self.state, meta = load_checkpoint(path, self.state)
         self.epoch = int(meta.get("epoch", 0))
         self.log(f"=> loaded checkpoint '{path}' "
                  f"(epoch {self.epoch}, step {int(self.state.step)})")
