@@ -104,12 +104,12 @@ def main():
         full-image host readback is timed separately -- through the dev
         tunnel it costs 100s of ms/image, on a PCIe-attached host ~ms.
         """
+        from wavedm_tpu.utils.profiling import xla_trace
         c = np.repeat(cond, batch, axis=0)
         out, _ = restorer.restore_image_device(c)  # compile
         out, _ = restorer.restore_image_device(c, jax.random.PRNGKey(99))
         _sync(out)  # warm: first post-compile call pays buffer setup
-        ctx = (jax.profiler.trace(trace_dir) if trace_dir
-               else _null_ctx())
+        ctx = xla_trace(trace_dir) if trace_dir else _null_ctx()
         with ctx:
             t0 = time.time()
             for i in range(n_iter):

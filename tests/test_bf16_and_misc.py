@@ -92,3 +92,26 @@ def test_wavelet_in_unet_mode(rng):
     y = m.apply(v, x, t)
     assert y.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bf16_global_unet_close_to_f32():
+    """DiffusionUNetGlobal computes in bf16 when asked (dtype threads through
+    the global branch and cross-attention too)."""
+    from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
+
+    kw = dict(in_channels=6, out_ch=3, ch=32, ch_mult=(1, 2),
+              num_res_blocks=1, attn_resolutions=(8,), resolution=16,
+              global_channels=3)
+    m32 = DiffusionUNetGlobal(**kw)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 6))
+    g = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    t = jnp.zeros((4,))
+    params = m32.init(key, x, t, g)["params"]
+    y32 = m32.apply({"params": params}, x, t, g)
+    m16 = DiffusionUNetGlobal(compute_dtype=jnp.bfloat16, **kw)
+    y16 = m16.apply({"params": params}, x, t, g)
+    assert y16.dtype == jnp.float32
+    assert float(jnp.abs(y16 - y32).max()) < 0.1
+    corr = np.corrcoef(np.asarray(y32).ravel(), np.asarray(y16).ravel())[0, 1]
+    assert corr > 0.999

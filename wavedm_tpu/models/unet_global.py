@@ -24,7 +24,7 @@ the model actually runs; all other levels match the reference layer-for-layer.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class AttnGlobal(nn.Module):
     (reference models/unet.py:397-460)."""
     local_patch_size: int = 2
     global_patch_size: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_patch, x_global):
@@ -61,8 +62,9 @@ class AttnGlobal(nn.Module):
         """
         c = x_patch.shape[-1]
         lp, gp = self.local_patch_size, self.global_patch_size
-        norm_patch = Normalize(name="norm_patch")
-        norm_global = Normalize(name="norm_global")
+        dt = self.dtype
+        norm_patch = Normalize(dtype=dt, name="norm_patch")
+        norm_global = Normalize(dtype=dt, name="norm_global")
         h_ = norm_patch(x_patch)
         # The reference normalises the global branch with norm_patch as well
         # (models/unet.py:432-433); norm_global's params exist but are never
@@ -73,11 +75,11 @@ class AttnGlobal(nn.Module):
         h_global = norm_patch(x_global)
 
         q = nn.Conv(c, (lp, lp), strides=(lp, lp), padding="VALID",
-                    name="q")(h_)
+                    dtype=dt, name="q")(h_)
         k = nn.Conv(c, (gp, gp), strides=(gp, gp), padding="VALID",
-                    feature_group_count=c, name="k")(h_global)
+                    feature_group_count=c, dtype=dt, name="k")(h_global)
         v = nn.Conv(c, (gp, gp), strides=(gp, gp), padding="VALID",
-                    feature_group_count=c, name="v")(h_global)
+                    feature_group_count=c, dtype=dt, name="v")(h_global)
 
         b, hq, wq, _ = q.shape
         bg, hk, wk, _ = k.shape
@@ -92,7 +94,7 @@ class AttnGlobal(nn.Module):
                           preferred_element_type=jnp.float32) * (c ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(vf.dtype)
         out = jnp.einsum("bqk,bkc->bqc", attn, vf).reshape(b, hq, wq, c)
-        out = nn.Conv(c, (1, 1), name="proj_out")(out)
+        out = nn.Conv(c, (1, 1), dtype=dt, name="proj_out")(out)
         if lp > 1:
             out = jnp.repeat(jnp.repeat(out, lp, axis=1), lp, axis=2)
         return x_patch + out
@@ -111,6 +113,7 @@ class DiffusionUNetGlobal(nn.Module):
     resamp_with_conv: bool = True
     resolution: int = 64
     global_channels: int = 48
+    compute_dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, cfg: Config) -> "DiffusionUNetGlobal":
@@ -126,75 +129,90 @@ class DiffusionUNetGlobal(nn.Module):
             resamp_with_conv=cfg.model.resamp_with_conv,
             resolution=cfg.data.image_size,
             global_channels=cfg.model.in_channels,
+            compute_dtype=jnp.bfloat16
+            if cfg.parallel.compute_dtype == "bfloat16" else jnp.float32,
         )
 
     @nn.compact
     def __call__(self, x, t, x_global, *, deterministic: bool = True):
         assert x.shape[1] == x.shape[2] == self.resolution
-        temb = TimestepMLP(self.ch, name="temb")(t)
+        dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
+        x = x.astype(self.compute_dtype)
+        x_global = x_global.astype(self.compute_dtype)
+        temb = TimestepMLP(self.ch, dtype=dt,
+                           name="temb")(t).astype(self.compute_dtype)
         num_levels = len(self.ch_mult)
         curr_res = self.resolution
 
-        h_global = nn.Conv(self.ch, (3, 3), padding="SAME",
+        h_global = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=dt,
                            name="global_conv_in")(x_global)
-        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in")(x)]
+        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", dtype=dt,
+                      name="conv_in")(x)]
         h = hs[-1]
         for i_level in range(num_levels):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
                 h = ResnetBlock(out_channels=block_out, dropout=self.dropout,
+                                dtype=dt,
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(dtype=dt,
+                                  name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_levels - 1:
-                h = Downsample(self.resamp_with_conv,
+                h = Downsample(self.resamp_with_conv, dtype=dt,
                                name=f"down_{i_level}_downsample")(h)
                 hs.append(h)
                 curr_res //= 2
                 # 4x4 stride-2 pad-1 conv on the global branch
                 h_global = nn.Conv(block_out, (4, 4), strides=(2, 2),
-                                   padding=((1, 1), (1, 1)),
+                                   padding=((1, 1), (1, 1)), dtype=dt,
                                    name=f"down_global_{i_level}_conv")(h_global)
             elif h_global.shape[-1] != block_out:
                 # missing in the reference (it crashes here); see module doc
-                h_global = nn.Conv(block_out, (1, 1),
+                h_global = nn.Conv(block_out, (1, 1), dtype=dt,
                                    name=f"down_global_{i_level}_proj")(h_global)
-            h = AttnGlobal(name=f"down_global_{i_level}_attn")(h, h_global)
+            h = AttnGlobal(dtype=dt,
+                           name=f"down_global_{i_level}_attn")(h, h_global)
 
         # middle -- restarts from hs[-1], discarding the last global attn
         # (reference models/unet.py:582-585)
         h = hs[-1]
-        h = ResnetBlock(dropout=self.dropout, name="mid_block_1")(
+        h = ResnetBlock(dropout=self.dropout, dtype=dt, name="mid_block_1")(
             h, temb, deterministic=deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=self.dropout, name="mid_block_2")(
+        h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
+        h = ResnetBlock(dropout=self.dropout, dtype=dt, name="mid_block_2")(
             h, temb, deterministic=deterministic)
 
         for i_level in reversed(range(num_levels)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 h = ResnetBlock(out_channels=block_out, dropout=self.dropout,
+                                dtype=dt,
                                 name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
                     deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(dtype=dt,
+                                  name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(self.resamp_with_conv,
+                h = Upsample(self.resamp_with_conv, dtype=dt,
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
                 h_global = nn.ConvTranspose(
                     block_out, (4, 4), strides=(2, 2),
-                    padding=((1, 1), (1, 1)),
+                    padding=((1, 1), (1, 1)), dtype=dt,
                     name=f"up_global_{i_level}_conv")(h_global)
             elif h_global.shape[-1] != block_out:
                 # missing in the reference (it crashes here); see module doc
-                h_global = nn.Conv(block_out, (1, 1),
+                h_global = nn.Conv(block_out, (1, 1), dtype=dt,
                                    name="up_global_0_proj")(h_global)
-            h = AttnGlobal(name=f"up_global_{i_level}_attn")(h, h_global)
+            h = AttnGlobal(dtype=dt,
+                           name=f"up_global_{i_level}_attn")(h, h_global)
 
-        h = Normalize(name="norm_out")(h)
+        h = Normalize(dtype=dt, name="norm_out")(h)
         h = swish(h)
-        return nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=dt,
+                    name="conv_out")(h)
+        return h.astype(jnp.float32)
