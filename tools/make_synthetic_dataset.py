@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--n-train", type=int, default=32)
     ap.add_argument("--n-test", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--severity", default="heavy", choices=["light", "heavy"],
+                    help="degradation strength (heavy: ~20 dB input PSNR)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -38,7 +40,7 @@ def main():
     jobs = [("train", args.n_train, args.seed),
             ("raindrop_test", args.n_test, args.seed + 10_000)]
     for split, n, seed in jobs:
-        src = SyntheticPairs(n_images=n, seed=seed)
+        src = SyntheticPairs(n_images=n, seed=seed, severity=args.severity)
         for sub in ("input", "gt"):
             os.makedirs(os.path.join(base, split, sub), exist_ok=True)
         for i in range(n):
