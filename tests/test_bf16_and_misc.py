@@ -115,3 +115,19 @@ def test_bf16_global_unet_close_to_f32():
     assert float(jnp.abs(y16 - y32).max()) < 0.1
     corr = np.corrcoef(np.asarray(y32).ravel(), np.asarray(y16).ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_bf16_hfrm_close_to_f32():
+    from wavedm_tpu.models.hfrm import HFRM
+
+    kw = dict(dim=8, mid_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+    m32 = HFRM(**kw)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 48, 3))
+    params = m32.init(jax.random.PRNGKey(1), x)["params"]
+    y32 = m32.apply({"params": params}, x)
+    m16 = HFRM(compute_dtype=jnp.bfloat16, **kw)
+    y16 = m16.apply({"params": params}, x)
+    assert y16.dtype == jnp.float32
+    assert float(jnp.abs(y16 - y32).max()) < 0.05
+    corr = np.corrcoef(np.asarray(y32).ravel(), np.asarray(y16).ravel())[0, 1]
+    assert corr > 0.999

@@ -89,6 +89,10 @@ class ModelConfig:
     attn_resolutions: Tuple[int, ...] = (16,)
     dropout: float = 0.0
     ema_rate: float = 0.9999
+    # Accepted for reference-YAML compatibility; DEAD IN THE REFERENCE TOO:
+    # EMAHelper is registered unconditionally (models/ddm.py:146-147) and
+    # `model.ema` is never read.  EMA here is likewise always maintained
+    # (rate = ema_rate); evaluation chooses weights via --ema.
     ema: bool = True
     resamp_with_conv: bool = True
 
@@ -150,6 +154,10 @@ class TrainingConfig:
 
 @dataclass
 class SamplingConfig:
+    # batch_size / last_only: accepted for reference-YAML compatibility;
+    # DEAD IN THE REFERENCE TOO (sampling.batch_size is never read and
+    # sample_image hardcodes last=True, models/ddm_wavelet.py:296-303).
+    # Batched restoration here is driven by the input's leading axis.
     batch_size: int = 1
     last_only: bool = True
     sampling_timesteps: int = 25  # DDIM steps (reference: --sampling_timesteps)

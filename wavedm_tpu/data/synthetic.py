@@ -41,9 +41,12 @@ class SyntheticPairs:
         gt = np.clip(gt + 0.05 * rng.standard_normal((h, w, 3)).astype(np.float32), 0, 1)
         # raindrop-like blobs on the degraded version
         cond = gt.copy()
+        # heavy mode leans on GLOBAL degradations (haze, streaks) that a
+        # restorer can actually invert; blob destruction is local information
+        # loss, so it stays moderate
         heavy = self.severity == "heavy"
-        n_blobs = 220 if heavy else 24
-        r_lo, r_hi = (10, 40) if heavy else (6, 24)
+        n_blobs = 48 if heavy else 24
+        r_lo, r_hi = (8, 30) if heavy else (6, 24)
         for _ in range(n_blobs):
             cy, cx = rng.integers(0, h), rng.integers(0, w)
             r = rng.integers(r_lo, r_hi)
@@ -57,8 +60,8 @@ class SyntheticPairs:
         if heavy:
             # global haze towards the mean + diagonal rain streaks
             haze = cond.mean(axis=(0, 1), keepdims=True)
-            cond = 0.75 * cond + 0.25 * haze
-            streaks = rng.random((h, w)) < 0.002
+            cond = 0.62 * cond + 0.38 * haze
+            streaks = rng.random((h, w)) < 0.003
             ys, xs = np.nonzero(streaks)
             for sy, sx in zip(ys, xs):
                 ln = int(rng.integers(8, 28))

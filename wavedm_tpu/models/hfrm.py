@@ -29,7 +29,8 @@ from wavedm_tpu.config import Config
 class LayerNorm2d(nn.Module):
     """Per-pixel channel LayerNorm with *biased* variance and eps added to
     var before sqrt (reference: models/arch.py:7-42) -- note this differs
-    from flax LayerNorm only in affine param shape bookkeeping."""
+    from flax LayerNorm only in affine param shape bookkeeping.  Statistics
+    always accumulate in float32; the output returns in the input dtype."""
     eps: float = 1e-6
 
     @nn.compact
@@ -37,10 +38,11 @@ class LayerNorm2d(nn.Module):
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-        y = (x - mu) * jax.lax.rsqrt(var + self.eps)
-        return y * weight + bias
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * weight + bias).astype(x.dtype)
 
 
 def simple_gate(x: jax.Array) -> jax.Array:
@@ -56,6 +58,7 @@ class ChannelAttn(nn.Module):
     global pool becomes a TLC windowed average (models/arch.py:46-130;
     see wavedm_tpu/ops/tlc.py)."""
     tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -67,7 +70,7 @@ class ChannelAttn(nn.Module):
             s = local_avg_pool(x, k)
         else:
             s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(c, (1, 1), name="chan_conv")(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, name="chan_conv")(s)
         return x * s
 
 
@@ -75,27 +78,29 @@ class HFRMBlock(nn.Module):
     """One NAFNet-style residual block (reference ResidualBlock,
     models/arch.py:158-204)."""
     tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
+        dt = self.dtype
 
         h = LayerNorm2d(name="norm1")(x)
-        h = nn.Conv(dim * 2, (1, 1), name="conv1")(h)
-        h = nn.Conv(dim * 2, (3, 3), padding="SAME",
+        h = nn.Conv(dim * 2, (1, 1), dtype=dt, name="conv1")(h)
+        h = nn.Conv(dim * 2, (3, 3), padding="SAME", dtype=dt,
                     feature_group_count=dim * 2, name="conv2")(h)
         h = simple_gate(h)
-        h = ChannelAttn(self.tlc, name="channel_attn")(h)
-        h = nn.Conv(dim, (1, 1), name="conv3")(h)
+        h = ChannelAttn(self.tlc, dtype=dt, name="channel_attn")(h)
+        h = nn.Conv(dim, (1, 1), dtype=dt, name="conv3")(h)
         beta = self.param("beta", nn.initializers.zeros, (dim,))
-        y = x + h * beta
+        y = x + (h * beta).astype(x.dtype)
 
         h = LayerNorm2d(name="norm2")(y)
-        h = nn.Conv(dim * 2, (1, 1), name="conv4")(h)
+        h = nn.Conv(dim * 2, (1, 1), dtype=dt, name="conv4")(h)
         h = simple_gate(h)
-        h = nn.Conv(dim, (1, 1), name="conv5")(h)
+        h = nn.Conv(dim, (1, 1), dtype=dt, name="conv5")(h)
         gamma = self.param("gamma", nn.initializers.zeros, (dim,))
-        return y + h * gamma
+        return y + (h * gamma).astype(y.dtype)
 
 
 def pixel_shuffle(x: jax.Array, p: int = 2) -> jax.Array:
@@ -118,12 +123,16 @@ class HFRM(nn.Module):
     dec_blk_nums: Tuple[int, ...] = (2, 2, 2, 2)
     # TLC (test-time local converter): (base_hw, train_hw); None = global pool
     tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, cfg: Config) -> "HFRM":
         return cls(dim=cfg.hfrm.dim, mid_blk_num=cfg.hfrm.middle_blk_num,
                    enc_blk_nums=cfg.hfrm.enc_blk_nums,
-                   dec_blk_nums=cfg.hfrm.dec_blk_nums)
+                   dec_blk_nums=cfg.hfrm.dec_blk_nums,
+                   compute_dtype=jnp.bfloat16
+                   if cfg.parallel.compute_dtype == "bfloat16"
+                   else jnp.float32)
 
     @nn.compact
     def __call__(self, x):
@@ -138,28 +147,34 @@ class HFRM(nn.Module):
         pad_w = (-w_in) % mult
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv_in")(x)
+        dt = (None if self.compute_dtype == jnp.float32
+              else self.compute_dtype)
+        x = x.astype(self.compute_dtype)
+        x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=dt,
+                    name="conv_in")(x)
 
         dim = self.dim
         skips = []
         for li, num in enumerate(self.enc_blk_nums):
             for bi in range(num):
-                x = HFRMBlock(self.tlc, name=f"enc_{li}_{bi}")(x)
+                x = HFRMBlock(self.tlc, dtype=dt, name=f"enc_{li}_{bi}")(x)
             skips.append(x)
             x = nn.Conv(dim * 2, (2, 2), strides=(2, 2), padding="VALID",
-                        name=f"down_{li}")(x)
+                        dtype=dt, name=f"down_{li}")(x)
             dim *= 2
 
         for bi in range(self.mid_blk_num):
-            x = HFRMBlock(self.tlc, name=f"mid_{bi}")(x)
+            x = HFRMBlock(self.tlc, dtype=dt, name=f"mid_{bi}")(x)
 
         for li, num in enumerate(self.dec_blk_nums):
-            x = nn.Conv(dim * 2, (1, 1), use_bias=False, name=f"up_{li}")(x)
+            x = nn.Conv(dim * 2, (1, 1), use_bias=False, dtype=dt,
+                        name=f"up_{li}")(x)
             x = pixel_shuffle(x, 2)
             dim //= 2
             x = x + skips[-(li + 1)]
             for bi in range(num):
-                x = HFRMBlock(self.tlc, name=f"dec_{li}_{bi}")(x)
+                x = HFRMBlock(self.tlc, dtype=dt, name=f"dec_{li}_{bi}")(x)
 
-        x = nn.Conv(self.in_channel, (3, 3), padding="SAME", name="conv_out")(x)
-        return x[:, :h_in, :w_in, :] + inp
+        x = nn.Conv(self.in_channel, (3, 3), padding="SAME", dtype=dt,
+                    name="conv_out")(x)
+        return x[:, :h_in, :w_in, :].astype(jnp.float32) + inp
