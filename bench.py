@@ -90,7 +90,8 @@ def main():
         c = copy.deepcopy(cfg)
         c.parallel.compute_dtype = dtype
         u = DiffusionUNet.from_config(c)
-        return DiffusiveRestoration(c, u.apply, uparams, hfrm.apply, hparams)
+        h = HFRM.from_config(c)
+        return DiffusiveRestoration(c, u.apply, uparams, h.apply, hparams)
 
     def _sync(x):
         # device-completion sync via one scalar readback (the axon relay's

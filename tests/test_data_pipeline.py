@@ -92,3 +92,44 @@ def test_eval_samples(dataset_dir):
 
 def test_eval_resize_rule():
     assert eval_resize_dims(999, 777) == (720, 480)
+
+
+def test_device_cache_matches_pil_stream_exactly(dataset_dir):
+    """data.device_cache yields the SAME batches as the PIL streaming path:
+    same shuffle, same per-(seed,epoch,idx) crop RNG, same uint8/255 values
+    to within 1 ulp (XLA's divide rounds differently from numpy's) -- only
+    the transport changes (one upload + on-device gathers)."""
+    cfg = _cfg(dataset_dir)
+    ds_pil = RainDrop(cfg)
+    pil_batches = list(ds_pil.train_batches(epoch=1, use_native=False,
+                                            prefetch=False))
+
+    import copy
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.data.device_cache = True
+    ds_cache = RainDrop(cfg2)
+    cache_batches = [np.asarray(b)
+                     for b in ds_cache.train_batches(epoch=1)]
+
+    assert len(pil_batches) == len(cache_batches)
+    for a, b in zip(pil_batches, cache_batches):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+    # second epoch reuses the SAME device cache object (one upload total)
+    assert ds_cache._cache is not None
+    c0 = ds_cache._cache
+    _ = list(ds_cache.train_batches(epoch=2))
+    assert ds_cache._cache is c0
+
+
+def test_device_cache_crop_batch_shapes(dataset_dir):
+    from wavedm_tpu.data.device_cache import DeviceCropCache
+
+    rng = np.random.default_rng(3)
+    pairs = (rng.random((4, 40, 60, 6)) * 255).astype(np.uint8)
+    cache = DeviceCropCache(pairs, patch_size=16)
+    coords = np.array([[0, 0, 0], [1, 24, 44], [3, 10, 5]], np.int32)
+    out = np.asarray(cache.crop_batch(coords))
+    assert out.shape == (3, 16, 16, 6)
+    np.testing.assert_allclose(out[0], pairs[0, :16, :16] / 255.0, atol=1e-7)
+    np.testing.assert_allclose(out[1], pairs[1, 24:40, 44:60] / 255.0,
+                               atol=1e-7)

@@ -35,6 +35,12 @@ class DataConfig:
     use_fft: bool = False         # append FFT amp/phase to the conditioning
     channels: int = 3             # pixel channels (pixel-space path)
     num_workers: int = 8          # native-loader decode threads (n_threads)
+    # Decode the train split once and keep it resident in HBM (uint8);
+    # per-step crops become on-device gathers driven by a ~100-byte index
+    # transfer (wavedm_tpu/data/device_cache.py).  RainDrop's full split is
+    # ~1.8 GB of a v5e's 16 GB.  Ignored on the global-attn path (which
+    # needs per-image total tensors).
+    device_cache: bool = False
     data_dir: str = "./data"
     conditional: bool = True
 

@@ -166,6 +166,7 @@ class RainDrop:
         self.cfg = cfg
         self.process_index = process_index
         self.process_count = process_count
+        self._cache = None  # DeviceCropCache (data.device_cache)
 
     def _dirs(self) -> Tuple[str, str]:
         base = os.path.join(self.cfg.data.data_dir, "raindrop")
@@ -186,6 +187,29 @@ class RainDrop:
             parse_patches=True, process_index=self.process_index,
             process_count=self.process_count, return_total=use_global)
         bs = batch_size or self.cfg.training.batch_size
+
+        if self.cfg.data.device_cache and not use_global:
+            # HBM-resident split: decode+upload once, then per-step crops
+            # are on-device gathers (see data/device_cache.py; the
+            # coordinate RNG matches the PIL path exactly)
+            from wavedm_tpu.data.device_cache import build_pair_cache
+            if self._cache is None:
+                self._cache = build_pair_cache(
+                    [ds.inputs[i] for i in range(len(ds.inputs))],
+                    [ds.gts[i] for i in range(len(ds.gts))],
+                    self.cfg.data.patch_size)
+            cache = self._cache
+            order = np.array(ds.indices)
+            np.random.default_rng(self.cfg.training.seed + epoch).shuffle(order)
+            buf = []
+            for coords in cache.draw_coords(
+                    order, self.cfg.training.seed, epoch,
+                    self.cfg.training.patch_n):
+                buf.append(coords)
+                if len(buf) == bs:
+                    yield cache.crop_batch(np.concatenate(buf, axis=0))
+                    buf = []
+            return
 
         if use_native is None:
             from wavedm_tpu.data import native_loader
