@@ -28,6 +28,12 @@ def parse_args():
                    help="Dump restored/cond/gt images here")
     p.add_argument("--grid-r", type=int, default=None)
     p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--x0-pred-index", type=int, default=None,
+                   help="Which x0 estimate to output (reference: -5, "
+                        "models/restoration.py:108)")
+    p.add_argument("--whole-image", action="store_true",
+                   help="Non-tiled generalized_steps eval "
+                        "(sampling.whole_image)")
     p.add_argument("--test-set", default="raindrop")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--ema", action="store_true",
@@ -53,6 +59,10 @@ def main():
         cfg.sampling.grid_r = args.grid_r
     if args.sampling_timesteps is not None:
         cfg.sampling.sampling_timesteps = args.sampling_timesteps
+    if args.x0_pred_index is not None:
+        cfg.sampling.x0_pred_index = args.x0_pred_index
+    if args.whole_image:
+        cfg.sampling.whole_image = True
 
     key = jax.random.PRNGKey(cfg.training.seed)
     sample = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
