@@ -217,6 +217,13 @@ class ParallelConfig:
     data_axis: int = -1           # -1: use all devices on the data axis
     fsdp: bool = False            # shard params/opt-state over the data axis
     compute_dtype: str = "float32"   # bfloat16 | float32 for activations
+    # Pallas one-pass GroupNorm(+swish) kernel in the UNet (identical param
+    # tree; ops/groupnorm_pallas.py).  Trace analysis shows GN stat reduces
+    # cost ~25% of the DDIM chain, BUT the isolated kernel measured 0.74x
+    # the XLA path on v5e: the custom call breaks XLA's producer/consumer
+    # fusion at all ~30 norm sites, adding more HBM round-trips than the
+    # one-pass kernel saves.  Kept for experimentation; default off.
+    fused_groupnorm: bool = False
 
     def validate(self) -> None:
         if self.compute_dtype not in ("float32", "bfloat16"):

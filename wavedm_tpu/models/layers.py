@@ -44,17 +44,43 @@ def swish(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(x)
 
 
-class Normalize(nn.Module):
-    """GroupNorm(32, eps=1e-6) with affine (reference: models/unet.py:36-37).
-
-    ``dtype`` is the COMPUTE dtype (params stay float32; flax normalization
-    always computes mean/var statistics in >= float32)."""
-    dtype: Optional[jnp.dtype] = None
+class _FusedGN(nn.Module):
+    """Pallas fused GroupNorm(+swish); same param tree ('scale'/'bias')
+    as flax GroupNorm so checkpoints are layout-independent."""
+    num_groups: int = 32
+    eps: float = 1e-6
+    swish: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, epsilon=1e-6, use_bias=True,
-                            use_scale=True, dtype=self.dtype, name="norm")(x)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from wavedm_tpu.ops.groupnorm_pallas import fused_group_norm
+        return fused_group_norm(x, scale, bias, num_groups=self.num_groups,
+                                eps=self.eps, swish=self.swish)
+
+
+class Normalize(nn.Module):
+    """GroupNorm(32, eps=1e-6) with affine (reference: models/unet.py:36-37).
+
+    ``dtype`` is the COMPUTE dtype (params stay float32; statistics always
+    accumulate in >= float32 on both paths).  ``fused`` switches to the
+    Pallas one-pass kernel (ops/groupnorm_pallas.py); ``fold_swish``
+    applies the swish that follows the norm at every UNet site except
+    attention -- folded into the kernel on the fused path."""
+    dtype: Optional[jnp.dtype] = None
+    fused: bool = False
+    fold_swish: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.fused:
+            return _FusedGN(num_groups=32, eps=1e-6, swish=self.fold_swish,
+                            name="norm")(x)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, use_bias=True,
+                         use_scale=True, dtype=self.dtype, name="norm")(x)
+        return swish(y) if self.fold_swish else y
 
 
 class Upsample(nn.Module):
@@ -98,6 +124,7 @@ class ResnetBlock(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, *, deterministic: bool = True):
@@ -105,15 +132,15 @@ class ResnetBlock(nn.Module):
         out_ch = self.out_channels or in_ch
         dt = self.dtype
 
-        h = Normalize(dtype=dt, name="norm1")(x)
-        h = swish(h)
+        h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
+                      name="norm1")(x)
         h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv1")(h)
 
         h = h + nn.Dense(out_ch, dtype=dt,
                          name="temb_proj")(swish(temb))[:, None, None, :]
 
-        h = Normalize(dtype=dt, name="norm2")(h)
-        h = swish(h)
+        h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
+                      name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv2")(h)
 
@@ -132,12 +159,13 @@ class AttnBlock(nn.Module):
     only ever instantiated at small resolutions (attn_resolutions=[16]).
     Logits accumulate in float32 regardless of compute dtype."""
     dtype: Optional[jnp.dtype] = None
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         dt = self.dtype
-        hn = Normalize(dtype=dt, name="norm")(x)
+        hn = Normalize(dtype=dt, fused=self.fused_gn, name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=dt, name="q")(hn).reshape(b, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=dt, name="k")(hn).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=dt, name="v")(hn).reshape(b, h * w, c)

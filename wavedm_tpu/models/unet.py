@@ -92,6 +92,7 @@ class DiffusionUNet(nn.Module):
     window_size: int = 2
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_gn: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, **overrides) -> "DiffusionUNet":
@@ -110,6 +111,7 @@ class DiffusionUNet(nn.Module):
             window_size=cfg.data.window_size,
             compute_dtype=jnp.bfloat16
             if cfg.parallel.compute_dtype == "bfloat16" else jnp.float32,
+            fused_gn=cfg.parallel.fused_groupnorm,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -158,11 +160,11 @@ class DiffusionUNet(nn.Module):
             for i_block in range(self.num_res_blocks):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
-                    dropout=self.dropout, dtype=dt,
+                    dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
                     name=f"down_{i_level}_block_{i_block}",
                 )(hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=dt,
+                    h = AttnBlock(dtype=dt, fused_gn=self.fused_gn,
                                   name=f"down_{i_level}_attn_{i_block}")(h)
                 hs.append(h)
             if i_level != num_levels - 1:
@@ -172,10 +174,10 @@ class DiffusionUNet(nn.Module):
 
         # middle
         h = hs[-1]
-        h = block_cls(dropout=self.dropout, dtype=dt, name="mid_block_1")(
+        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn, name="mid_block_1")(
             h, temb, deterministic=deterministic)
-        h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
-        h = block_cls(dropout=self.dropout, dtype=dt, name="mid_block_2")(
+        h = AttnBlock(dtype=dt, fused_gn=self.fused_gn, name="mid_attn_1")(h)
+        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn, name="mid_block_2")(
             h, temb, deterministic=deterministic)
 
         # upsampling (num_res_blocks + 1 blocks per level, skip-concat)
@@ -183,12 +185,12 @@ class DiffusionUNet(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
-                    dropout=self.dropout, dtype=dt,
+                    dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
                     name=f"up_{i_level}_block_{i_block}",
                 )(jnp.concatenate([h, hs.pop()], axis=-1), temb,
                   deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=dt,
+                    h = AttnBlock(dtype=dt, fused_gn=self.fused_gn,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(self.resamp_with_conv, dtype=dt,
@@ -196,8 +198,8 @@ class DiffusionUNet(nn.Module):
                 curr_res *= 2
         assert not hs
 
-        h = Normalize(dtype=dt, name="norm_out")(h)
-        h = swish(h)
+        h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
+                      name="norm_out")(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=dt,
                     name="conv_out")(h)
         h = h.astype(jnp.float32)
