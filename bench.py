@@ -138,15 +138,15 @@ def main():
     dt_f32_b1, rb_f32, out_f32 = measure(r_f32, 1)
     psnr_f32 = psnr_torch(gt[0], out_f32[0])
     configs["f32_b1"] = {"s_per_image": dt_f32_b1, "psnr": float(psnr_f32)}
-    dt_f32_b4, _, _ = measure(r_f32, 4)
-    configs["f32_b4"] = {"s_per_image": dt_f32_b4, "psnr": float(psnr_f32)}
 
     r_bf16 = build("bfloat16")
     dt_bf16_b1, rb_bf16, out_bf16 = measure(r_bf16, 1)
     psnr_bf16 = psnr_torch(gt[0], out_bf16[0])
     configs["bf16_b1"] = {"s_per_image": dt_bf16_b1, "psnr": float(psnr_bf16)}
-    dt_bf16_b4, _, _ = measure(r_bf16, 4)
-    configs["bf16_b4"] = {"s_per_image": dt_bf16_b4, "psnr": float(psnr_bf16)}
+    # image batching saturates the chip around batch 8 (719 ms/img vs 882
+    # at b4, 699 at b16 -- diminishing); b8 is the serving sweet spot
+    dt_bf16_b8, _, _ = measure(r_bf16, 8)
+    configs["bf16_b8"] = {"s_per_image": dt_bf16_b8, "psnr": float(psnr_bf16)}
 
     # headline = fastest config within 0.05 dB of f32 quality
     ok = {k: v for k, v in configs.items()
@@ -157,7 +157,7 @@ def main():
 
     if trace_dir:
         restorer = r_bf16 if best_key.startswith("bf16") else r_f32
-        measure(restorer, 4 if best_key.endswith("b4") else 1,
+        measure(restorer, 8 if best_key.endswith("b8") else 1,
                 n_iter=2, trace_dir=trace_dir)
 
     # ---- FLOPs / MFU ------------------------------------------------------
