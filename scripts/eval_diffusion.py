@@ -40,6 +40,9 @@ def parse_args():
                    help="Evaluate EMA weights (the reference defines but "
                         "never enables this; models/restoration.py:24)")
     p.add_argument("--n-images", type=int, default=0, help="Cap image count")
+    p.add_argument("--eval-batch", type=int, default=1,
+                   help="Restore N same-geometry images per fused program "
+                        "(batch 8 is the chip-saturation sweet spot)")
     return p.parse_args()
 
 
@@ -126,7 +129,8 @@ def main():
             import itertools
             samples = itertools.islice(samples, args.n_images)
 
-    res = restorer.restore(samples, save_dir=args.image_folder or None)
+    res = restorer.restore(samples, save_dir=args.image_folder or None,
+                           eval_batch=args.eval_batch)
     print("psnr all torch", res["psnr_torch"])
     print("psnr all np", res["psnr_np_y"])
     print("psnr all GPU", res["psnr_y"])

@@ -122,3 +122,20 @@ def test_whole_image_mode(pipeline, rng):
     assert out2.shape == (1, 40, 56, 3)
     assert np.isfinite(out2).all()
     assert out2.min() >= 0.0 and out2.max() <= 1.0
+
+
+def test_restore_eval_batching_matches_per_image_count(pipeline, rng):
+    """eval_batch groups same-geometry samples into one fused program;
+    metrics stay per-image and the count is exact (incl. the tail batch
+    and a geometry change mid-stream)."""
+    cfg, restorer = pipeline
+    pairs = [
+        (rng.random((32, 32, 6)).astype(np.float32), "a"),
+        (rng.random((32, 32, 6)).astype(np.float32), "b"),
+        (rng.random((32, 32, 6)).astype(np.float32), "c"),
+        (rng.random((48, 64, 6)).astype(np.float32), "d"),  # new geometry
+    ]
+    res = restorer.restore(iter(pairs), eval_batch=2)
+    assert res["n_images"] == 4
+    assert np.isfinite(res["psnr_torch"])
+    assert np.isfinite(res["ssim"])

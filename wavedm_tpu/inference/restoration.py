@@ -328,36 +328,58 @@ class DiffusiveRestoration:
 
     def restore(self, samples: Iterable[Tuple[np.ndarray, str]],
                 save_dir: Optional[str] = None,
-                rng: Optional[jax.Array] = None) -> Dict[str, float]:
+                rng: Optional[jax.Array] = None,
+                eval_batch: int = 1) -> Dict[str, float]:
         """Evaluate over (pair(H,W,6), image_id) samples; returns mean metrics.
 
         Mirrors the reference loop (models/restoration.py:63-168): per-image
         PSNR in three variants + SSIM, optional image dumps.
+
+        ``eval_batch`` > 1 restores that many same-geometry images per fused
+        program (the eval protocol canonicalizes to one size, so batching is
+        free); metrics stay per-image.  The reference is strictly 1/loop.
         """
         from wavedm_tpu.utils.images import save_image  # lazy: PIL optional
 
         psnr_t, psnr_y, psnr_n, ssims = [], [], [], []
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.training.seed)
-        for i, (pair, img_id) in enumerate(samples):
-            cond, gt = pair[..., :3], pair[..., 3:]
+
+        def flush(batch):
+            nonlocal rng
+            if not batch:
+                return
             rng, sub = jax.random.split(rng)
+            pairs = np.stack([p for p, _ in batch])
+            inp = pairs if self.cfg.data.lap else pairs[..., :3]
             # lap restoration consumes the full pair (GT low band at eval,
             # a reference quirk -- models/ddm.py:332)
-            out, _ = self.restore_image(
-                pair if self.cfg.data.lap else cond, sub)
-            out0 = out[0]
-            psnr_t.append(M.psnr_torch(gt, out0))
-            psnr_y.append(M.psnr_y(gt, out0))
-            psnr_n.append(M.psnr_np(
-                np.clip(gt * 255, 0, 255), np.clip(out0 * 255, 0, 255),
-                test_y_channel=True))
-            ssims.append(M.ssim(
-                np.clip(gt * 255, 0, 255), np.clip(out0 * 255, 0, 255)))
-            if save_dir is not None:
-                save_image(out0, f"{save_dir}/{img_id}_output.png")
-                save_image(cond, f"{save_dir}/{img_id}_cond.png")
-                save_image(gt, f"{save_dir}/{img_id}_gt.png")
+            out, _ = self.restore_image(inp, sub)
+            for k, (pair, img_id) in enumerate(batch):
+                cond, gt = pair[..., :3], pair[..., 3:]
+                out0 = out[k]
+                psnr_t.append(M.psnr_torch(gt, out0))
+                psnr_y.append(M.psnr_y(gt, out0))
+                psnr_n.append(M.psnr_np(
+                    np.clip(gt * 255, 0, 255), np.clip(out0 * 255, 0, 255),
+                    test_y_channel=True))
+                ssims.append(M.ssim(
+                    np.clip(gt * 255, 0, 255), np.clip(out0 * 255, 0, 255)))
+                if save_dir is not None:
+                    save_image(out0, f"{save_dir}/{img_id}_output.png")
+                    save_image(cond, f"{save_dir}/{img_id}_cond.png")
+                    save_image(gt, f"{save_dir}/{img_id}_gt.png")
+
+        buf = []
+        for pair, img_id in samples:
+            if buf and pair.shape != buf[0][0].shape:
+                flush(buf)  # geometry changed; don't mix shapes in a batch
+                buf = []
+            buf.append((pair, img_id))
+            if len(buf) == max(1, eval_batch):
+                flush(buf)
+                buf = []
+        flush(buf)
         return {
             "psnr_torch": float(np.mean(psnr_t)),
             "psnr_y": float(np.mean(psnr_y)),
