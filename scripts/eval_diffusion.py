@@ -34,6 +34,12 @@ def parse_args():
     p.add_argument("--whole-image", action="store_true",
                    help="Non-tiled generalized_steps eval "
                         "(sampling.whole_image)")
+    p.add_argument("--t-start", type=int, default=None,
+                   help="Truncated refinement: run the chain over "
+                        "[0, t_start) from noised init_ll (sampling.t_start)")
+    p.add_argument("--init-ll", default=None,
+                   choices=["hfrm", "cond", "noise"],
+                   help="LL source noised to t_start (sampling.init_ll)")
     p.add_argument("--test-set", default="raindrop")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--ema", action="store_true",
@@ -56,7 +62,10 @@ def main():
     from wavedm_tpu.inference.restoration import DiffusiveRestoration
     from wavedm_tpu.models.hfrm import HFRM
     from wavedm_tpu.models.unet import DiffusionUNet
+    from wavedm_tpu.parallel.distributed import initialize_multihost
 
+    initialize_multihost()  # reference eval also NCCL-inits
+    # (eval_diffusion.py:83); no-op single-process
     cfg = load_config(args.config)
     if args.grid_r is not None:
         cfg.sampling.grid_r = args.grid_r
@@ -66,6 +75,11 @@ def main():
         cfg.sampling.x0_pred_index = args.x0_pred_index
     if args.whole_image:
         cfg.sampling.whole_image = True
+    if args.t_start is not None:
+        cfg.sampling.t_start = args.t_start
+    if args.init_ll is not None:
+        cfg.sampling.init_ll = args.init_ll
+    cfg.validate()
 
     key = jax.random.PRNGKey(cfg.training.seed)
     sample = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,

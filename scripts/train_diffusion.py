@@ -54,8 +54,13 @@ def load_hfrm_params(path, cfg):
 def main():
     args = parse_args()
     from wavedm_tpu.config import load_config
+    from wavedm_tpu.parallel.distributed import initialize_multihost
     from wavedm_tpu.training.trainer import DiffusionTrainer
 
+    # multi-host rendezvous before any device use (the reference's
+    # unconditional dist.init_process_group, train_diffusion.py:62-66,80);
+    # no-op for the common single-process case
+    initialize_multihost()
     cfg = load_config(args.config)
     if args.seed is not None:
         cfg.training.seed = args.seed
@@ -105,6 +110,11 @@ def main():
     dataset = RainDrop(cfg, jax.process_index(), jax.process_count())
     ckpt_dir = args.ckpt_dir or os.path.join(cfg.data.data_dir, "ckpts")
 
+    # ONE restorer for the whole run: its per-geometry jit cache survives
+    # across validate() calls (params flow as jit arguments), so the 25-step
+    # chain compiles once per geometry instead of once per validation
+    restorer_box = {}
+
     def validate(state, step):
         # in-train restoration snapshot on a couple of val images, process 0
         # (reference models/ddm_wavelet.py:275-280)
@@ -118,8 +128,11 @@ def main():
                 print(f"[validate @ {step}] skipped: no HFRM checkpoint")
                 return
             hfrm_apply = HFRM.from_config(cfg).apply
-        restorer = DiffusiveRestoration(
-            cfg, trainer.model.apply, state.params, hfrm_apply, hp)
+        if "r" not in restorer_box:
+            restorer_box["r"] = DiffusiveRestoration(
+                cfg, trainer.model.apply, state.params, hfrm_apply, hp)
+        restorer = restorer_box["r"]
+        restorer.unet_params = state.params
         res = restorer.restore(
             itertools.islice(dataset.eval_samples(), 2),
             save_dir=os.path.join("results", "images", f"step{step}"))

@@ -28,8 +28,11 @@ def main():
     import numpy as np
 
     from wavedm_tpu.config import load_config
+    from wavedm_tpu.parallel.distributed import initialize_multihost
     from wavedm_tpu.training.hfrm_trainer import HFRMTrainer
 
+    initialize_multihost()  # no-op single-process (reference train_hfrm is
+    # single-process DataParallel; multi-host here shards the folder dataset)
     cfg = load_config(args.config)
     trainer = HFRMTrainer(cfg)
     if args.resume:

@@ -1,0 +1,123 @@
+"""RRDB block + opt-in HFRM loss terms (VGG perceptual / lsgan / TV).
+
+Covers the last dead-code limbs of the reference inventory: the
+never-instantiated ``RRDB`` (models/model_dense.py:385-433) and the unused
+VGG19/GAN loss scaffolding in train_hfrm.py:58-141 (only 2*L1*255 is active
+there, :259-267) -- provided here as working opt-ins.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavedm_tpu.config import config_from_dict
+from wavedm_tpu.models.vgg_loss import (VGG19Features, perceptual_loss,
+                                        convert_vgg19_features)
+from wavedm_tpu.models.wdnet import RRDB
+
+
+def test_rrdb_forward_and_param_layout():
+    m = RRDB()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 16, 16, 64)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    # reference layout: three RDBs, the dilated deli shortcut, and the
+    # instantiated-but-never-called SAM (models/model_dense.py:405)
+    assert set(params) == {"rdb1", "rdb2", "rdb3", "deli", "sam1"}
+    out = m.apply({"params": params}, x)
+    assert out.shape == x.shape
+
+    # quirk parity: running residual adds + out3*0.2 + deli(x); with zeroed
+    # RDB convs the output must equal the deli branch alone
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zeroed = dict(zeroed, deli=params["deli"])
+    got = m.apply({"params": zeroed}, x)
+    from wavedm_tpu.models.wdnet import lrelu
+    kernel, bias = params["deli"]["kernel"], params["deli"]["bias"]
+    # zeroed RDB5Cs output 0, so the running residuals reduce to x:
+    # out3 = x -> result = 0.2*x + deli(x)
+    want = 0.2 * x + lrelu(jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME", rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_vgg_features_and_perceptual_loss():
+    m = VGG19Features()
+    x = jnp.ones((1, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    taps = m.apply({"params": params}, x)
+    assert set(taps) == {"relu1", "relu2", "relu3", "relu4", "relu5"}
+    # spatial dims halve at each maxpool: 32,16,8,4,2
+    for name, hw in zip(["relu1", "relu2", "relu3", "relu4", "relu5"],
+                        [32, 16, 8, 4, 2]):
+        assert taps[name].shape[1] == hw, (name, taps[name].shape)
+    assert float(perceptual_loss(taps, taps)) == 0.0
+    other = m.apply({"params": params}, x * 0.5)
+    assert float(perceptual_loss(taps, other)) > 0.0
+
+
+def test_convert_vgg19_features_roundtrip():
+    # synthesize a torch-layout features state_dict and check key mapping
+    rng = np.random.default_rng(0)
+    widths = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+              10: (256, 128), 12: (256, 256), 14: (256, 256), 16: (256, 256),
+              19: (512, 256), 21: (512, 512), 23: (512, 512), 25: (512, 512),
+              28: (512, 512), 30: (512, 512)}
+    sd = {}
+    for idx, (co, ci) in widths.items():
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (co, ci, 3, 3)).astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(co).astype(np.float32)
+    params = convert_vgg19_features(sd)
+    assert params["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    assert params["conv5_2"]["kernel"].shape == (3, 3, 512, 512)
+    np.testing.assert_allclose(
+        np.asarray(params["conv3_4"]["kernel"]),
+        sd["features.16.weight"].transpose(2, 3, 1, 0))
+    # converted params drive the flax module
+    m = VGG19Features()
+    taps = m.apply({"params": params}, jnp.ones((1, 16, 16, 3)))
+    assert taps["relu5"].shape[-1] == 512
+
+
+def _tiny_cfg(**hfrm_extra):
+    return config_from_dict({
+        "data": {"image_size": 8, "patch_size": 32},
+        "model": {"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+                  "attn_resolutions": [4]},
+        "hfrm": dict({"dim": 4, "enc_blk_nums": [1, 1], "middle_blk_num": 1,
+                      "dec_blk_nums": [1, 1]}, **hfrm_extra),
+    })
+
+
+def test_gan_trainer_step_runs_and_improves_nothing_weird(tmp_path):
+    from wavedm_tpu.training.hfrm_trainer import HFRMTrainer
+    cfg = _tiny_cfg(use_gan=True, lambda_gan=0.1, tv_weight=0.01)
+    tr = HFRMTrainer(cfg, use_mesh=False, log_fn=lambda *_: None)
+    assert tr.disc_state is not None
+    batch = np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 6)).astype(np.float32)
+
+    def batches(epoch):
+        yield batch
+
+    tr.fit(batches, max_steps=2, ckpt_dir=str(tmp_path))
+    assert int(tr.state.step) == 2
+    assert int(tr.disc_state.step) == 2
+    # checkpoint round-trips the discriminator
+    tr2 = HFRMTrainer(cfg, use_mesh=False, log_fn=lambda *_: None)
+    tr2.resume(str(tmp_path / "lastest"))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tr2.disc_state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tr.disc_state.params)[0]))
+
+
+def test_perceptual_trainer_step_runs():
+    from wavedm_tpu.training.hfrm_trainer import HFRMTrainer
+    cfg = _tiny_cfg(use_perceptual=True)
+    tr = HFRMTrainer(cfg, use_mesh=False, log_fn=lambda *_: None)
+    batch = np.random.default_rng(0).uniform(
+        0, 1, (1, 32, 32, 6)).astype(np.float32)
+    tr.fit(lambda e: iter([batch]), max_steps=1)
+    assert int(tr.state.step) == 1

@@ -183,6 +183,22 @@ class SamplingConfig:
     # The image is reflect-padded to the UNet's divisibility requirement and
     # cropped back (the reference crashes on non-divisible sizes).
     whole_image: bool = False
+    # Truncated refinement sampling (TPU-build extension; generalizes the
+    # reference's `begin_from_noise: false`, models/ddm.py:361-365, which
+    # noises the conditioning to t=T-1 -- at T=1000 that is indistinguishable
+    # from pure noise).  t_start > 0 runs the DDIM chain only over
+    # [0, t_start) (sampling_timesteps evenly-skipped steps) and initializes
+    # x_{t_start} by noising `init_ll` to that level.  Motivated by a measured
+    # failure mode of eps-parameterized conditional restoration: at
+    # a_t ~ 1e-4 the cond-dependent part of eps contributes ~5e-4 to the
+    # training loss, so models predict eps ~ x_t there and the first ~15 of
+    # 25 chain steps add error instead of removing it (see README "Quality
+    # loop").  0 disables (full reference chain).
+    t_start: int = 0
+    # What to noise to t_start: "hfrm" (stage-1 restorer's LL band -- the
+    # natural refinement target), "cond" (degraded input's LL), or "noise"
+    # (pure noise at a(t_start); degenerate, for ablations).
+    init_ll: str = "hfrm"
 
     def validate(self) -> None:
         if self.sampling_timesteps < 1:
@@ -191,6 +207,10 @@ class SamplingConfig:
             raise ConfigError("grid_r must be >= 1")
         if self.jit_mode not in ("scan", "step"):
             raise ConfigError("jit_mode must be 'scan' or 'step'")
+        if self.t_start < 0:
+            raise ConfigError("t_start must be >= 0 (0 disables truncation)")
+        if self.init_ll not in ("hfrm", "cond", "noise"):
+            raise ConfigError("init_ll must be 'hfrm', 'cond', or 'noise'")
 
 
 @dataclass
@@ -242,6 +262,15 @@ class HFRMConfig:
     batch_size: int = 8
     n_epochs: int = 800
     best_psnr_init: float = 31.0  # best-checkpoint PSNR gate (train_hfrm.py:228)
+    # Opt-in loss terms.  ALL DEAD in the reference (train_hfrm.py:58-141
+    # defines VGG19 LossNetwork / TVLoss / GAN criterion+Discriminator
+    # machinery but the shipped loss is only 2*L1*255, :259-267); provided
+    # for inventory completeness as additive terms on the shipped loss.
+    use_perceptual: bool = False  # + VGG19 relu1..5 L1 (models/vgg_loss.py)
+    vgg_ckpt: str = ""            # torchvision vgg19 weights (.pth); '' = random feats
+    use_gan: bool = False         # + lsgan term w/ the PatchGAN Discriminator
+    lambda_gan: float = 1.0       # weight on the generator's GAN term
+    tv_weight: float = 0.0        # + TV regulariser (reference TVLoss)
 
     def __post_init__(self):
         self.enc_blk_nums = tuple(self.enc_blk_nums)
@@ -266,6 +295,14 @@ class Config:
     def validate(self) -> "Config":
         for f in dataclasses.fields(self):
             getattr(self, f.name).validate()
+        if self.sampling.t_start >= self.diffusion.num_diffusion_timesteps:
+            raise ConfigError(
+                "sampling.t_start must be < diffusion.num_diffusion_timesteps")
+        if (self.sampling.t_start > 0 and self.sampling.init_ll == "hfrm"
+                and not (self.data.wavelet and not self.data.wavelet_in_unet)):
+            raise ConfigError(
+                "init_ll: hfrm requires the wavelet path (the stage-1 "
+                "restorer's LL band only exists there); use init_ll: cond")
         return self
 
 

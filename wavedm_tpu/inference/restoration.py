@@ -56,9 +56,50 @@ class DiffusiveRestoration:
             beta_end=cfg.diffusion.beta_end,
             num_diffusion_timesteps=cfg.diffusion.num_diffusion_timesteps,
         ), dtype=jnp.float32)
-        self.seq = ddim_timesteps(cfg.diffusion.num_diffusion_timesteps,
-                                  cfg.sampling.sampling_timesteps)
+        if cfg.sampling.t_start > 0:
+            # truncated refinement chain over [0, t_start) -- see the
+            # SamplingConfig.t_start docstring for the measured motivation
+            skip = max(1, cfg.sampling.t_start
+                       // cfg.sampling.sampling_timesteps)
+            self.seq = np.arange(0, cfg.sampling.t_start, skip,
+                                 dtype=np.int32)
+        else:
+            self.seq = ddim_timesteps(cfg.diffusion.num_diffusion_timesteps,
+                                      cfg.sampling.sampling_timesteps)
         self._restore_fns: Dict[Tuple[int, int], Callable] = {}
+
+    def _init_chain_state(self, base_ll, noise):
+        """x_{t_start}: noise `base_ll` to the chain's starting alpha-bar.
+
+        base_ll: the LL-band estimate chosen by ``sampling.init_ll`` (None
+        for pure noise).  With t_start=0 this reproduces the reference's two
+        modes exactly: begin_from_noise=True -> pure noise;
+        False -> cond noised with the FULL-T alpha-bar (models/ddm.py:361-365
+        uses cumprod over all betas regardless of the sampling seq)."""
+        if self.cfg.sampling.t_start > 0:
+            a_s = jnp.cumprod(1.0 - self.betas)[int(self.seq[-1])]
+            if base_ll is None:
+                return noise * jnp.sqrt(1.0 - a_s)
+            return base_ll * jnp.sqrt(a_s) + noise * jnp.sqrt(1.0 - a_s)
+        if self.cfg.data.begin_from_noise or base_ll is None:
+            return noise
+        a_T = jnp.cumprod(1.0 - self.betas)[-1]
+        return base_ll * jnp.sqrt(a_T) + noise * jnp.sqrt(1.0 - a_T)
+
+    def _init_base_ll(self, cond, hfrm):
+        """Pick the init_ll source tensor (pred-channel slice) for
+        ``_init_chain_state``; None = pure noise."""
+        s = self.cfg.sampling
+        pc = self.cfg.model.pred_channels
+        if s.t_start > 0:
+            if s.init_ll == "hfrm":
+                if hfrm is None:
+                    raise ValueError("init_ll: hfrm needs the wavelet path")
+                return hfrm[..., :pc]
+            if s.init_ll == "cond":
+                return cond[..., :pc]
+            return None
+        return None if self.cfg.data.begin_from_noise else cond[..., :pc]
 
     def _make_sampler(self, h: int, w: int, *, use_other: bool,
                       use_fft: bool = False, use_global: bool = False):
@@ -164,13 +205,11 @@ class DiffusiveRestoration:
                 {"params": hfrm_params}, cond_pixel)
             hfrm_w = wavelet_dec(data_transform(restored))
             key_init, key_s = jax.random.split(rng)
-            x_init = jax.random.normal(
+            noise = jax.random.normal(
                 key_init, (cond_pixel.shape[0], hw, ww, m.pred_channels),
                 jnp.float32)
-            if not cfg.data.begin_from_noise:
-                a_T = jnp.cumprod(1.0 - self.betas)[-1]
-                x_init = (cond_w[..., :m.pred_channels] * jnp.sqrt(a_T)
-                          + x_init * jnp.sqrt(1.0 - a_T))
+            x_init = self._init_chain_state(
+                self._init_base_ll(cond_w, hfrm_w), noise)
             return cond_w, hfrm_w, x_init, key_s, restored
 
         @jax.jit
@@ -211,7 +250,9 @@ class DiffusiveRestoration:
         def prep(cond_pixel, rng):
             cond_n = data_transform(cond_pixel)
             key_init, key_s = jax.random.split(rng)
-            x_init = jax.random.normal(key_init, cond_n.shape, jnp.float32)
+            noise = jax.random.normal(key_init, cond_n.shape, jnp.float32)
+            x_init = self._init_chain_state(
+                self._init_base_ll(cond_n, None), noise)
             return cond_n, x_init, key_s
 
         def restore(cond_pixel, rng):
@@ -253,9 +294,11 @@ class DiffusiveRestoration:
             pyr = lap.decompose(x6)
             coarse = pyr[-1]
             key_init, key_s = jax.random.split(rng)
-            x_init = jax.random.normal(
+            noise = jax.random.normal(
                 key_init, (pair_pixel.shape[0], ch, cw,
                            cfg.model.pred_channels), jnp.float32)
+            x_init = self._init_chain_state(
+                self._init_base_ll(coarse[..., :3], None), noise)
             return pyr, coarse[..., :3], coarse[..., 3:], x_init, key_s
 
         @jax.jit
@@ -341,6 +384,10 @@ class DiffusiveRestoration:
         """
         from wavedm_tpu.utils.images import save_image  # lazy: PIL optional
 
+        # image dumps are coordinator-only in multi-host runs (the
+        # reference's rank-0 gating, models/ddm_wavelet.py:275-283)
+        if save_dir is not None and jax.process_index() != 0:
+            save_dir = None
         psnr_t, psnr_y, psnr_n, ssims = [], [], [], []
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.training.seed)

@@ -81,6 +81,40 @@ class DMDB2(nn.Module):
         return out2 * 0.2 + out3
 
 
+class RRDB(nn.Module):
+    """Residual-in-Residual Dense Block (models/model_dense.py:385-433).
+
+    Never instantiated anywhere in the reference (its only mention is the
+    dormant RRDB chain comment in WDNet); provided for inventory
+    completeness.  Reference quirks preserved: the forward chains three
+    RDB5Cs with *running* residual adds (out = RDB1(x)+x; out2 = RDB2(out)
+    +out; out3 = RDB3(out2)+out2 -- NOT the ESRGAN out*0.2+x form), returns
+    ``out3*0.2 + deli(x)`` with a dilated-conv shortcut, and instantiates a
+    ``SAM(64, 2, 1)`` whose forward call is commented out
+    (models/model_dense.py:405,421) -- the module exists here too so a
+    converted checkpoint keeps its parameter layout, but it is never applied.
+    """
+    gc: int = 32
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        from wavedm_tpu.models.sam import SAM
+        # dead-by-design: forward on zeros only materialises the parameter
+        # subtree for checkpoint-layout parity (see docstring)
+        _unused = SAM(out_channels=2, name="sam1")(
+            jnp.zeros(x.shape[:3] + (64,), x.dtype))
+        del _unused
+        out = ResidualDenseBlock5C(self.gc, name="rdb1")(x) + x
+        out2 = ResidualDenseBlock5C(self.gc, name="rdb2")(out) + out
+        out3 = ResidualDenseBlock5C(self.gc, name="rdb3")(out2) + out2
+        d = lrelu(nn.Conv(c, (3, 3), padding="SAME",
+                          kernel_dilation=(self.dilation, self.dilation),
+                          name="deli")(x))
+        return out3 * 0.2 + d
+
+
 class WDNet(nn.Module):
     """Wavelet-domain demoireing generator: 48ch wavelet input -> 7 DMDB2
     blocks at dilations (1,2,5,7,12,19,31) -> 48ch wavelet output
