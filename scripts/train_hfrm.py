@@ -66,13 +66,36 @@ def main():
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
 
-    def batches(epoch):
-        buf = []
-        for pair, _ in ds.epoch(epoch, cfg.training.seed):
-            buf.append(pair)
-            if len(buf) == cfg.hfrm.batch_size:
-                yield np.stack(buf)
-                buf = []
+    if cfg.data.device_cache:
+        # One-time HBM upload of this host's split (uint8); per-step batches
+        # are on-device gathers + casts -- zero host->device traffic per
+        # step (and immunity to the axon relay's transfer-pinning leak; see
+        # data/device_cache.py).  Requires a uniform image geometry, which
+        # the 720x480 eval-resize rule guarantees.
+        import jax.numpy as jnp
+        pairs = [ds._eval_sample(i)[0] for i in range(len(ds))]
+        shapes = {p.shape for p in pairs}
+        if len(shapes) != 1:
+            raise SystemExit(f"device_cache needs uniform sizes, got {shapes}")
+        cache = jnp.asarray(
+            np.stack([(p * 255.0 + 0.5).astype(np.uint8) for p in pairs]))
+        del pairs
+
+        def batches(epoch):
+            rng = np.random.default_rng(cfg.training.seed + epoch)
+            order = rng.permutation(cache.shape[0])
+            bs = cfg.hfrm.batch_size
+            for s in range(0, len(order) - bs + 1, bs):
+                idx = jnp.asarray(order[s:s + bs])
+                yield cache[idx].astype(jnp.float32) / 255.0
+    else:
+        def batches(epoch):
+            buf = []
+            for pair, _ in ds.epoch(epoch, cfg.training.seed):
+                buf.append(pair)
+                if len(buf) == cfg.hfrm.batch_size:
+                    yield np.stack(buf)
+                    buf = []
 
     trainer.fit(batches, max_steps=args.max_steps or None,
                 ckpt_dir=args.ckpt_dir)
