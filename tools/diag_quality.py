@@ -102,7 +102,10 @@ def main():
                    if m.use_other_channels else None)
         x_final, x0_preds = sampler(x_init, cond_w, x_other, key_s,
                                     params=uparams)
-        diff_ll = np.asarray(x0_preds[cfg.sampling.x0_pred_index])
+        # the tiled sampler trims the trajectory to the kept index
+        sel = (0 if x0_preds.shape[0] == 1
+               else cfg.sampling.x0_pred_index)
+        diff_ll = np.asarray(x0_preds[sel])
 
         def rec(ll, hf):
             full = jnp.concatenate([ll[..., :3], hf[..., 3:]], axis=-1)

@@ -135,6 +135,7 @@ def make_overlapping_sampler(
     patch_micro_batch: int = 0,
     jit_mode: str = "scan",
     mesh=None,
+    x0_keep: Optional[int] = None,
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
 
@@ -159,6 +160,20 @@ def make_overlapping_sampler(
     XLA inserts the collectives for the scatter-add recombination -- patch
     parallelism for inference, a capability the reference (single-GPU eval,
     eval_diffusion.py world_size=1) does not have.
+
+    ``x0_keep``: when set (an index into the T-step trajectory, negative ok),
+    the scan carries ONLY that x0 estimate instead of stacking all T --
+    x0_preds comes back as (1, B, H, W, pred) holding just the kept step.
+    The full trajectory is T*B*H*W*pred floats of HBM (52 MB at T=25, B=8,
+    720x480) and only one element is ever consumed
+    (reference x0_preds[-5], models/restoration.py:108).
+
+    eta > 0 note: the per-step stochastic noise is drawn with per-image
+    subkeys (fold over the batch axis), so each image's noise is independent
+    of its batch neighbours -- but exact equality between one batched call
+    and B single-image calls holds only at eta=0 (the reference's only
+    shipped setting): a single-image call consumes a different key path than
+    a batch slice.
     """
     h, w = image_shape
     p = patch_size
@@ -230,8 +245,13 @@ def make_overlapping_sampler(
         et = acc / counts_a
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
         key, sub = jax.random.split(key)
-        noise = (jax.random.normal(sub, xt.shape, xt.dtype)
-                 if eta > 0 else 0.0)
+        if eta > 0:
+            # per-image subkeys: noise independent of batch composition
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, xt.shape[1:], xt.dtype)
+            )(jax.random.split(sub, b))
+        else:
+            noise = 0.0
         xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
         return (xt_next, key), x0_t
 
@@ -245,17 +265,36 @@ def make_overlapping_sampler(
                    if use_other else None)
         return cond_p, other_p
 
+    n_steps = len(np.asarray(seq))
+    keep_idx = None if x0_keep is None else (x0_keep % n_steps)
+
     if jit_mode == "scan":
         # one compiled program for the whole reverse chain
         @jax.jit
         def sample_scan(params, x_init, x_cond, x_other, x_global, rng,
                         corners_a, counts_a):
             cond_p, other_p = prep_cond(x_cond, x_other, corners_a)
-            (x_final, _), x0_preds = jax.lax.scan(
-                lambda c, per: step(params, c, per, cond_p, other_p,
-                                    x_global, corners_a, counts_a),
-                (x_init, rng), (t_cur, at, at_next, c1, c2))
-            return x_final, x0_preds
+            if keep_idx is None:
+                (x_final, _), x0_preds = jax.lax.scan(
+                    lambda c, per: step(params, c, per, cond_p, other_p,
+                                        x_global, corners_a, counts_a),
+                    (x_init, rng), (t_cur, at, at_next, c1, c2))
+                return x_final, x0_preds
+
+            # carry only the kept x0 estimate (no T-step trajectory in HBM)
+            flags = jnp.arange(n_steps) == keep_idx
+
+            def body(carry, per):
+                inner, kept = carry
+                inner, x0_t = step(params, inner, per[:5], cond_p, other_p,
+                                   x_global, corners_a, counts_a)
+                kept = jnp.where(per[5], x0_t, kept)
+                return (inner, kept), None
+
+            ((x_final, _), kept), _ = jax.lax.scan(
+                body, ((x_init, rng), jnp.zeros_like(x_init)),
+                (t_cur, at, at_next, c1, c2, flags))
+            return x_final, kept[None]
 
         def sample(x_init, x_cond, x_other=None, rng=None,
                    params=None, x_global=None):
@@ -286,7 +325,8 @@ def make_overlapping_sampler(
             per_step = (t_cur[i], at[i], at_next[i], c1[i], c2[i])
             carry, x0_t = step_jit(params, carry, per_step, cond_p, other_p,
                                    x_global, corners_np, counts_np)
-            x0s.append(x0_t)
+            if keep_idx is None or i == keep_idx:
+                x0s.append(x0_t)
         return carry[0], jnp.stack(x0s)
 
     return sample_segmented

@@ -130,6 +130,9 @@ class DiffusiveRestoration:
                 use_global=use_global,
                 patch_micro_batch=cfg.sampling.patch_micro_batch,
                 jit_mode=cfg.sampling.jit_mode,
+                # only x0_preds[x0_pred_index] is consumed -> the scan
+                # carries just that estimate (T*B*H*W floats saved)
+                x0_keep=cfg.sampling.x0_pred_index,
             )
         if use_global:
             raise ValueError(
@@ -170,11 +173,13 @@ class DiffusiveRestoration:
 
     def _select_output(self, x_final, x0_preds):
         """Tiled path: the x0 estimate at ``x0_pred_index`` (reference
-        models/restoration.py:108).  Whole-image path: the final x_t
-        (reference sample_image last=True, models/ddm_wavelet.py:301-303)."""
+        models/restoration.py:108) -- the tiled sampler is built with
+        ``x0_keep`` so x0_preds holds exactly that one estimate.
+        Whole-image path: the final x_t (reference sample_image last=True,
+        models/ddm_wavelet.py:301-303)."""
         if self.cfg.sampling.whole_image:
             return x_final
-        return x0_preds[self.cfg.sampling.x0_pred_index]
+        return x0_preds[0]
 
     # ---------------------------------------------------------------- wavelet
 
