@@ -150,3 +150,61 @@ def test_crop_rng_differs_across_batches_within_epoch(coord_pair):
     y0, x0 = _native_corners(pi, pg, h, w, p, seeds=[base * 1000003 + 0])
     y1, x1 = _native_corners(pi, pg, h, w, p, seeds=[base * 1000003 + 1])
     assert not (np.array_equal(y0, y1) and np.array_equal(x0, x1))
+
+
+def _write_pair_tree(root, h, w, n=2):
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    os.makedirs(os.path.join(root, "input"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gt"), exist_ok=True)
+    for i in range(n):
+        a = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        b = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(a).save(os.path.join(root, "input", f"{i}.png"))
+        Image.fromarray(b).save(os.path.join(root, "gt", f"{i}.png"))
+
+
+def test_eval_sample_native_fast_path_matches_pil(tmp_path):
+    """720x480 sources take the native decode path in _eval_sample and must
+    be bit-equal to the PIL pipeline (VERDICT r2 item 7: native loader was
+    train-only)."""
+    from wavedm_tpu.data.raindrop import RainDropDataset
+    root = str(tmp_path / "canon")
+    _write_pair_tree(root, 480, 720)
+    ds = RainDropDataset(root, 256, 1, parse_patches=False)
+    pair_native, _ = ds._eval_sample(0)
+
+    import wavedm_tpu.data.native_loader as nl
+    orig = nl.available
+    nl.available = lambda: False
+    try:
+        pair_pil, _ = ds._eval_sample(0)
+    finally:
+        nl.available = orig
+    # native decode is v*(1/255.f): 1-ulp from numpy's v/255.0
+    np.testing.assert_allclose(pair_native, pair_pil, atol=1e-6)
+
+    # non-canonical source size -> PIL resample path (protocol parity)
+    root2 = str(tmp_path / "odd")
+    _write_pair_tree(root2, 100, 160)
+    ds2 = RainDropDataset(root2, 256, 1, parse_patches=False)
+    pair2, _ = ds2._eval_sample(0)
+    assert pair2.shape == (480, 720, 6)
+
+
+def test_folder_full_image_native_fast_path(tmp_path):
+    from wavedm_tpu.data.folder import PairedImageFolder
+    root = str(tmp_path / "raindrop_f")
+    _write_pair_tree(root, 480, 720)
+    ds = PairedImageFolder(root, crop=False, resize=False)
+    a, b = ds.load_pair(0)
+
+    import wavedm_tpu.data.native_loader as nl
+    orig = nl.available
+    nl.available = lambda: False
+    try:
+        a2, b2 = ds.load_pair(0)
+    finally:
+        nl.available = orig
+    np.testing.assert_allclose(a, a2, atol=1e-6)
+    np.testing.assert_allclose(b, b2, atol=1e-6)

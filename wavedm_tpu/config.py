@@ -266,6 +266,9 @@ class HFRMConfig:
     # defines VGG19 LossNetwork / TVLoss / GAN criterion+Discriminator
     # machinery but the shipped loss is only 2*L1*255, :259-267); provided
     # for inventory completeness as additive terms on the shipped loss.
+    # jax.checkpoint each residual block (stage-1 full-image training at
+    # dim 32 needs it on a 16 GB chip; see models/hfrm.py HFRM.remat)
+    remat: bool = False
     use_perceptual: bool = False  # + VGG19 relu1..5 L1 (models/vgg_loss.py)
     vgg_ckpt: str = ""            # torchvision vgg19 weights (.pth); '' = random feats
     use_gan: bool = False         # + lsgan term w/ the PatchGAN Discriminator

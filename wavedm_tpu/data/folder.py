@@ -49,6 +49,19 @@ class PairedImageFolder:
     def load_pair(self, idx: int,
                   rng: Optional[np.random.Generator] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
+        if not self.crop and not self.resize:
+            # full-image path (the raindrop stage-1 protocol): native C++
+            # decode when built (16 ms vs 356 ms PIL); the 720x480
+            # enforcement below only bites on non-canonical sources, which
+            # fall back to PIL for resample parity
+            from wavedm_tpu.data import native_loader
+            if native_loader.available():
+                a = native_loader.decode_image(self.inputs[idx])
+                b = native_loader.decode_image(self.gts[idx])
+                if ("raindrop" not in self.root
+                        or (a.shape[:2] == (480, 720)
+                            and b.shape[:2] == (480, 720))):
+                    return a, b
         img1 = Image.open(self.inputs[idx]).convert("RGB")
         img2 = Image.open(self.gts[idx]).convert("RGB")
         w, h = img1.size

@@ -106,6 +106,20 @@ class RainDropDataset:
         return crops
 
     def _eval_sample(self, idx: int) -> Tuple[np.ndarray, str]:
+        img_id = os.path.basename(self.inputs[idx]).rsplit(".", 1)[0]
+        # native C++ decode fast-path (16 ms vs 356 ms PIL per 720x480) when
+        # the source already has the canonical eval geometry -- the LANCZOS
+        # resample otherwise defines the protocol, so non-canonical sizes
+        # take the PIL path for bit-parity (decode parity is tested in
+        # tests/test_native_loader.py)
+        from wavedm_tpu.data import native_loader
+        if native_loader.available():
+            a = native_loader.decode_image(self.inputs[idx])
+            if (a.shape[1], a.shape[0]) == eval_resize_dims(a.shape[1],
+                                                            a.shape[0]):
+                b = native_loader.decode_image(self.gts[idx])
+                if b.shape == a.shape:
+                    return np.concatenate([a, b], axis=-1), img_id
         inp = _load_rgb(self.inputs[idx])
         gt = _load_rgb(self.gts[idx])
         wd, ht = eval_resize_dims(*inp.size)
@@ -115,7 +129,6 @@ class RainDropDataset:
             np.asarray(inp, dtype=np.float32) / 255.0,
             np.asarray(gt, dtype=np.float32) / 255.0,
         ], axis=-1)
-        img_id = os.path.basename(self.inputs[idx]).rsplit(".", 1)[0]
         return pair, img_id
 
     def epoch(self, epoch: int, seed: int,

@@ -124,12 +124,18 @@ class HFRM(nn.Module):
     # TLC (test-time local converter): (base_hw, train_hw); None = global pool
     tlc: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
     compute_dtype: jnp.dtype = jnp.float32
+    # Rematerialize each residual block under autodiff (jax.checkpoint):
+    # full-image stage-1 training at dim 32 otherwise overflows a 16 GB chip
+    # -- full-res block activations are ~0.5 GB each at batch 2.  Forward
+    # cost is unchanged; backward recomputes the block interior.
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "HFRM":
         return cls(dim=cfg.hfrm.dim, mid_blk_num=cfg.hfrm.middle_blk_num,
                    enc_blk_nums=cfg.hfrm.enc_blk_nums,
                    dec_blk_nums=cfg.hfrm.dec_blk_nums,
+                   remat=cfg.hfrm.remat,
                    compute_dtype=jnp.bfloat16
                    if cfg.parallel.compute_dtype == "bfloat16"
                    else jnp.float32)
@@ -152,19 +158,20 @@ class HFRM(nn.Module):
         x = x.astype(self.compute_dtype)
         x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=dt,
                     name="conv_in")(x)
+        Block = nn.remat(HFRMBlock) if self.remat else HFRMBlock
 
         dim = self.dim
         skips = []
         for li, num in enumerate(self.enc_blk_nums):
             for bi in range(num):
-                x = HFRMBlock(self.tlc, dtype=dt, name=f"enc_{li}_{bi}")(x)
+                x = Block(self.tlc, dtype=dt, name=f"enc_{li}_{bi}")(x)
             skips.append(x)
             x = nn.Conv(dim * 2, (2, 2), strides=(2, 2), padding="VALID",
                         dtype=dt, name=f"down_{li}")(x)
             dim *= 2
 
         for bi in range(self.mid_blk_num):
-            x = HFRMBlock(self.tlc, dtype=dt, name=f"mid_{bi}")(x)
+            x = Block(self.tlc, dtype=dt, name=f"mid_{bi}")(x)
 
         for li, num in enumerate(self.dec_blk_nums):
             x = nn.Conv(dim * 2, (1, 1), use_bias=False, dtype=dt,
@@ -173,7 +180,7 @@ class HFRM(nn.Module):
             dim //= 2
             x = x + skips[-(li + 1)]
             for bi in range(num):
-                x = HFRMBlock(self.tlc, dtype=dt, name=f"dec_{li}_{bi}")(x)
+                x = Block(self.tlc, dtype=dt, name=f"dec_{li}_{bi}")(x)
 
         x = nn.Conv(self.in_channel, (3, 3), padding="SAME", dtype=dt,
                     name="conv_out")(x)
