@@ -219,3 +219,15 @@ def test_initialize_multihost_single_process_contract():
     initialize_multihost()          # idempotent
     assert is_coordinator() == (jax.process_index() == 0)
     assert jax.process_count() == 1
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_FLAGSHIP_MULTICHIP"),
+    reason="flagship-shape FSDP step is minutes on virtual CPU devices; "
+           "set RUN_FLAGSHIP_MULTICHIP=1 (the driver's dryrun_multichip "
+           "always covers it)")
+def test_flagship_dryrun_phase():
+    """The full dryrun including the flagship FSDP step + 45-patch batch-8
+    sharded sampler (VERDICT r2 item 6)."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
