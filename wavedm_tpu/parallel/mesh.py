@@ -70,8 +70,18 @@ def fsdp_param_shardings(mesh: Mesh, params):
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with leading-axis sharding (plain transfer on
-    a 1-device mesh)."""
+    a 1-device mesh).
+
+    Multi-host: each process passes its LOCAL batch (the per-process slice
+    produced by the index-striped datasets) and the global array is
+    assembled across processes -- the DDP semantics of the reference's
+    per-rank DataLoader (datasets/raindrop.py:39-40); global batch size =
+    local batch * process_count."""
     if mesh.size == 1:
         return jax.tree_util.tree_map(jax.device_put, batch)
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
