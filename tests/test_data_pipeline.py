@@ -133,3 +133,24 @@ def test_device_cache_crop_batch_shapes(dataset_dir):
     np.testing.assert_allclose(out[0], pairs[0, :16, :16] / 255.0, atol=1e-7)
     np.testing.assert_allclose(out[1], pairs[1, 24:40, 44:60] / 255.0,
                                atol=1e-7)
+
+
+def test_device_cache_rejects_mixed_sizes(tmp_path):
+    """ADVICE r2: heterogeneous train images must fail with a ConfigError
+    naming the uniform-size requirement, not a bare np.stack crash."""
+    from PIL import Image
+    import pytest as _pytest
+    from wavedm_tpu.config import ConfigError
+    from wavedm_tpu.data.device_cache import build_pair_cache
+
+    paths_i, paths_g = [], []
+    for i, (h, w) in enumerate([(32, 48), (40, 48)]):
+        a = (np.random.default_rng(i).random((h, w, 3)) * 255).astype(np.uint8)
+        pi = str(tmp_path / f"i{i}.png")
+        pg = str(tmp_path / f"g{i}.png")
+        Image.fromarray(a).save(pi)
+        Image.fromarray(a).save(pg)
+        paths_i.append(pi)
+        paths_g.append(pg)
+    with _pytest.raises(ConfigError, match="uniform"):
+        build_pair_cache(paths_i, paths_g, 16)

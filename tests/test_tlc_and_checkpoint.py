@@ -201,3 +201,31 @@ def test_diffusion_trainer_snapshot_and_resume(tmp_path):
     # resumed EMA exists and training continues
     t2.fit(batches, max_steps=5, ckpt_dir=None)
     assert int(t2.state.step) == 5
+
+
+def test_missing_extras_degrade_gracefully(tmp_path):
+    """Resuming with an extras_template for a key the checkpoint never
+    stored must return empty extras, not crash inside orbax (ADVICE r2:
+    lap-configured resume from a pre-lap checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    from wavedm_tpu.training.state import TrainState
+    from wavedm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    st = TrainState(params={"w": jnp.ones((2,))},
+                    opt_state={"m": jnp.zeros((2,))},
+                    ema={"w": jnp.ones((2,))},
+                    step=jnp.zeros((), jnp.int32),
+                    rng=jax.random.PRNGKey(0))
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, st, epoch=3)  # saved WITHOUT extras
+    s2, meta, extras = load_checkpoint(
+        p, st, extras_template={"lap": {"x": jnp.ones((3,))}})
+    assert extras == {}
+    assert int(meta["epoch"]) == 3
+    # extras that WERE saved still round-trip
+    save_checkpoint(p + "2", st, epoch=4,
+                    extra_arrays={"lap": {"x": jnp.full((3,), 7.0)}})
+    _, _, ex = load_checkpoint(
+        p + "2", st, extras_template={"lap": {"x": jnp.zeros((3,))}})
+    np.testing.assert_array_equal(np.asarray(ex["lap"]["x"]), [7.0, 7.0, 7.0])

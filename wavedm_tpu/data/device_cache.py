@@ -96,4 +96,12 @@ def build_pair_cache(input_paths: List[str], gt_paths: List[str],
             b = np.asarray(Image.open(pg).convert("RGB"), np.uint8)
             pair = np.concatenate([a, b], axis=-1)
         pairs.append(pair)
+    shapes = {p.shape for p in pairs}
+    if len(shapes) > 1:
+        from wavedm_tpu.config import ConfigError
+        raise ConfigError(
+            "data.device_cache requires a uniform train-image geometry "
+            f"(one HBM-resident (N,H,W,6) tensor); got sizes {sorted(shapes)}."
+            " Use the streaming PIL/native pipeline (device_cache: false) "
+            "for mixed-size splits.")
     return DeviceCropCache(np.stack(pairs), patch_size)

@@ -76,6 +76,20 @@ def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return max(candidates, key=os.path.getmtime)
 
 
+def _saved_top_level_keys(path: str):
+    """Top-level pytree keys stored in a checkpoint, or None if they cannot
+    be determined (older orbax layouts) -- used to probe for optional
+    extras before building a restore template."""
+    try:
+        payload = ocp.PyTreeCheckpointer().metadata(_ckpt_dir(path))
+        tree = getattr(payload, "item_metadata", None) or payload
+        if hasattr(tree, "tree"):
+            tree = tree.tree
+        return set(tree.keys())
+    except Exception:
+        return None
+
+
 def load_checkpoint(path: str, state_template: Optional[TrainState] = None,
                     extras_template: Optional[Dict[str, Any]] = None):
     """Load a checkpoint.  With a template, arrays are restored with the
@@ -93,8 +107,15 @@ def load_checkpoint(path: str, state_template: Optional[TrainState] = None,
             "step": state_template.step,
             "rng": state_template.rng,
         }
+        # only request extras the checkpoint actually stored: restoring a
+        # template key absent from the payload fails inside orbax with a
+        # tree mismatch (e.g. resuming a lap-configured run from a ckpt
+        # saved before the translator existed); missing extras degrade to
+        # an empty entry so trainer.resume can start them fresh
+        saved_keys = _saved_top_level_keys(path)
         for k, v in (extras_template or {}).items():
-            template[k] = v
+            if saved_keys is None or k in saved_keys:
+                template[k] = v
         payload = ckptr.restore(_ckpt_dir(path), item=template)
     state = TrainState(
         params=payload["params"], opt_state=payload["opt_state"],
