@@ -3,15 +3,19 @@ DDIM chain, one chip.
 
 Measures the flagship WaveDM pipeline (HFRM -> Haar DWT -> tiled DDIM over
 45 overlapping 64^2 wavelet patches -> IWT) end-to-end on the local
-accelerator, across {float32, bfloat16} x {batch 1, batch 4} (the reference
+accelerator, across {float32, bfloat16} x {batch 1, batch 8} (the reference
 is strictly float32, one image per Python loop -- models/restoration.py:63-168).
+Trained r3 checkpoints (saved_models/r3_*) are loaded when present so the
+quality numbers reflect real weights; random init otherwise.
 
 The headline `value` is the best throughput among configurations whose PSNR
-(same input, same sampling RNG, synthetic pair with ground truth) stays
-within 0.05 dB of the float32 single-image result.  `vs_baseline` compares
-against a faithful "reference-style execution" of the SAME math on the SAME
-chip: host-side Python DDIM loop, 8-patch micro-batches, per-step host
-round-trips (models/ddm_wavelet.py:437-506, utils/sampling.py:99-104).
+(same input, same sampling RNG, per-config outputs) stays within 0.05 dB of
+the float32 single-image result.  `vs_baseline` compares the f32 batch-1
+fused program against a faithful "reference-style execution" of the SAME
+math on the SAME chip: host-side Python DDIM loop, 8-patch micro-batches,
+per-step host round-trips (models/ddm_wavelet.py:437-506,
+utils/sampling.py:99-104) -- the pure execution-strategy win; bf16/batching
+gains appear in detail.headline_vs_reference_style.
 
 Also reported: achieved FLOP/s and MFU against the chip's bf16 peak, from
 XLA's compiled cost analysis of the constituent programs.
@@ -82,7 +86,30 @@ def main():
     hfrm = HFRM.from_config(cfg)
     hparams = jax.jit(hfrm.init)(key, jnp.zeros((1, 480, 720, 3)))["params"]
 
-    pair_src = SyntheticPairs()
+    # Trained weights when available (the r3 two-stage run trains EXACTLY
+    # this flagship geometry: 156M UNet + dim-32 HFRM): the 0.05 dB
+    # bf16-vs-f32 quality gate below is only meaningful on trained params --
+    # a random-init 25-step chain's dtype divergence is chaotic (ADVICE r2).
+    trained = False
+    severity = "light"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ddpm_dir = os.path.join(repo, "saved_models", "r3_ddpm")
+    hfrm_ck = os.path.join(repo, "saved_models", "r3_hfrm", "best")
+    if os.path.isdir(ddpm_dir) and os.path.isdir(hfrm_ck):
+        from wavedm_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                                 load_checkpoint)
+        latest = find_latest_checkpoint(ddpm_dir)
+        if latest:
+            state, _ = load_checkpoint(latest)
+            uparams = state.params
+            hstate, _ = load_checkpoint(hfrm_ck)
+            hparams = hstate.params
+            trained = True
+            # evaluate on the training task's degradation so PSNR sits in
+            # the restoration regime rather than near-identity
+            severity = "heavy"
+
+    pair_src = SyntheticPairs(seed=61 + 10_000, severity=severity)
     cond, gt = pair_src[0]
     cond, gt = cond[None], gt[None]  # (1, 480, 720, 3)
 
@@ -144,9 +171,13 @@ def main():
     psnr_bf16 = psnr_torch(gt[0], out_bf16[0])
     configs["bf16_b1"] = {"s_per_image": dt_bf16_b1, "psnr": float(psnr_bf16)}
     # image batching saturates the chip around batch 8 (719 ms/img vs 882
-    # at b4, 699 at b16 -- diminishing); b8 is the serving sweet spot
-    dt_bf16_b8, _, _ = measure(r_bf16, 8)
-    configs["bf16_b8"] = {"s_per_image": dt_bf16_b8, "psnr": float(psnr_bf16)}
+    # at b4, 699 at b16 -- diminishing); b8 is the serving sweet spot.
+    # PSNR comes from the batch's own outputs (same image repeated): the
+    # headline config's quality is measured, not inherited (ADVICE r2).
+    dt_bf16_b8, _, out_b8 = measure(r_bf16, 8)
+    psnr_b8 = float(np.mean([psnr_torch(gt[0], out_b8[i])
+                             for i in range(out_b8.shape[0])]))
+    configs["bf16_b8"] = {"s_per_image": dt_bf16_b8, "psnr": psnr_b8}
 
     # headline = fastest config within 0.05 dB of f32 quality
     ok = {k: v for k, v in configs.items()
@@ -220,10 +251,14 @@ def main():
             xt = np.sqrt(at_next) * x0 + np.sqrt(1 - at_next) * et_full
         return xt
 
+    ref_dt = None
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
-            ref_dt = json.load(f)["reference_style_s_per_image"]
-    else:
+            cached = json.load(f)
+        # a cached number from a different backend is meaningless here
+        if cached.get("backend") == jax.default_backend():
+            ref_dt = cached["reference_style_s_per_image"]
+    if ref_dt is None:
         reference_style_restore(cond, 0)  # compile the 8-patch forward
         t0 = time.time()
         reference_style_restore(cond, 1)
@@ -236,9 +271,16 @@ def main():
         "metric": "RainDrop 720x480 restoration, 25-step DDIM, flagship WaveDM",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips * ref_dt, 2),
+        # same math, same dtype, same batch: f32_b1 fused program vs the
+        # reference execution strategy -- the pure execution-strategy win.
+        # The headline's additional bf16/batching gains are reported
+        # separately in detail.headline_vs_reference_style (ADVICE r2).
+        "vs_baseline": round(ref_dt / dt_f32_b1, 2),
         "detail": {
             "headline_config": best_key,
+            "headline_vs_reference_style": round(ips * ref_dt, 2),
+            "trained_weights": trained,
+            "eval_severity": severity,
             "fused_ms_per_image": round(best_dt * 1000, 1),
             "timing_basis": "device-complete (scalar sync per call); full "
                             "host readback timed separately below (the dev "
@@ -250,6 +292,7 @@ def main():
                 k: round(v["s_per_image"] * 1000, 1) for k, v in configs.items()},
             "psnr_f32_db": round(float(psnr_f32), 3),
             "psnr_bf16_db": round(float(psnr_bf16), 3),
+            "psnr_bf16_b8_db": round(psnr_b8, 3),
             "flops_per_image": flops_per_image,
             "achieved_flops_per_s": achieved,
             "device_kind": kind,
