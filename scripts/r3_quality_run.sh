@@ -24,10 +24,14 @@ ln -sfn "$REPO/data" "$SNAP/data"
 mkdir -p "$REPO/results"
 
 cd "$SNAP"
-if [ ! -e "$REPO/saved_models/r3_hfrm/best" ]; then
-  python -u scripts/train_hfrm.py --config "$CFG" \
+if [ ! -e "$REPO/saved_models/r3_hfrm/STAGE1_DONE" ]; then
+  RESUME=""
+  [ -e "$REPO/saved_models/r3_hfrm/lastest" ] \
+      && RESUME="--resume $REPO/saved_models/r3_hfrm/lastest"
+  python -u scripts/train_hfrm.py --config "$CFG" $RESUME \
       --max-steps "$STEPS1" --ckpt-dir "$REPO/saved_models/r3_hfrm" \
-      2>&1 | tee "$REPO/results/r3_hfrm_train.log"
+      2>&1 | tee -a "$REPO/results/r3_hfrm_train.log"
+  touch "$REPO/saved_models/r3_hfrm/STAGE1_DONE"
 fi
 python -u scripts/train_diffusion.py --config "$CFG" \
     --max-steps "$STEPS2" --ckpt-dir "$REPO/saved_models/r3_ddpm" \

@@ -258,4 +258,9 @@ class HFRMTrainer:
                 if mean_psnr > self.best_psnr:
                     self.best_psnr = mean_psnr
                     self.save(ckpt_dir, "best")
-                self.save(ckpt_dir, "lastest")
+                # 'lastest' (reference spelling) every 5th epoch: on
+                # short-epoch datasets the reference's every-epoch cadence
+                # (train_hfrm.py:300-307) turns into a checkpoint write
+                # every ~40 s of step time
+                if epoch % 5 == 4 or epoch == cfg.hfrm.n_epochs - 1:
+                    self.save(ckpt_dir, "lastest")
