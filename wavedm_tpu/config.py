@@ -244,10 +244,21 @@ class ParallelConfig:
     # fusion at all ~30 norm sites, adding more HBM round-trips than the
     # one-pass kernel saves.  Kept for experimentation; default off.
     fused_groupnorm: bool = False
+    # Pallas fused GroupNorm->swish->conv3x3 for the ResnetBlock pairs
+    # (ops/fused_resblock.py): moves the fusion boundary PAST the conv so
+    # each norm site costs one HBM read+write instead of XLA's extra
+    # standalone statistics read (the ~25% trace item).  Identical param
+    # tree to the unfused path.  r3 second attack on the GN cost; measure
+    # with bench.py before enabling in production.
+    fused_resblock: bool = False
 
     def validate(self) -> None:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ConfigError("compute_dtype must be float32 or bfloat16")
+        if self.fused_groupnorm and self.fused_resblock:
+            raise ConfigError(
+                "fused_groupnorm and fused_resblock are alternative GN "
+                "strategies; enable at most one")
 
 
 @dataclass

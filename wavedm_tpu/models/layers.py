@@ -116,33 +116,91 @@ class Downsample(nn.Module):
         return x
 
 
+class _GNParamLeaf(nn.Module):
+    """Parameter-only stand-in for nn.GroupNorm (same 'scale'/'bias')."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _GNParams(nn.Module):
+    """Matches Normalize's tree: <name>/norm/{scale,bias}."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _GNParamLeaf(self.features, name="norm")()
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv 3x3 (same 'kernel'/'bias',
+    same lecun-normal default init)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResnetBlock(nn.Module):
     """GN -> swish -> conv -> +temb-proj -> GN -> swish -> dropout -> conv,
     with 1x1 (or 3x3) shortcut when channels change
-    (reference: models/unet.py:81-138)."""
+    (reference: models/unet.py:81-138).
+
+    ``fused_block`` routes each GN->swish->conv3x3 pair through the Pallas
+    kernel (ops/fused_resblock.py; one HBM pass per site instead of the
+    standalone statistics read) with an IDENTICAL parameter tree, so
+    checkpoints are interchangeable between paths.  Falls back per-pair to
+    the XLA composition for shapes the kernel doesn't cover and when
+    dropout is active (the kernel has no dropout point)."""
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     fused_gn: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, temb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
         dt = self.dtype
+        cdt = dt or jnp.float32
 
-        h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
-                      name="norm1")(x)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv1")(h)
+        if self.fused_block:
+            from wavedm_tpu.ops.fused_resblock import fused_gn_swish_conv
+            s1, b1 = _GNParams(in_ch, name="norm1")()
+            k1, bb1 = _ConvParams(out_ch, name="conv1")(in_ch)
+            h = fused_gn_swish_conv(x, s1, b1, k1, bb1, cdt)
+        else:
+            h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
+                          name="norm1")(x)
+            h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt,
+                        name="conv1")(h)
 
         h = h + nn.Dense(out_ch, dtype=dt,
                          name="temb_proj")(swish(temb))[:, None, None, :]
 
-        h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
-                      name="norm2")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt, name="conv2")(h)
+        use_fused2 = self.fused_block and (self.dropout == 0.0
+                                           or deterministic)
+        if use_fused2:
+            from wavedm_tpu.ops.fused_resblock import fused_gn_swish_conv
+            s2, b2 = _GNParams(out_ch, name="norm2")()
+            k2, bb2 = _ConvParams(out_ch, name="conv2")(out_ch)
+            h = fused_gn_swish_conv(h, s2, b2, k2, bb2, cdt)
+        else:
+            h = Normalize(dtype=dt, fused=self.fused_gn, fold_swish=True,
+                          name="norm2")(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt,
+                        name="conv2")(h)
 
         if in_ch != out_ch:
             if self.conv_shortcut:

@@ -93,6 +93,7 @@ class DiffusionUNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     fused_gn: bool = False
+    fused_block: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, **overrides) -> "DiffusionUNet":
@@ -112,6 +113,7 @@ class DiffusionUNet(nn.Module):
             compute_dtype=jnp.bfloat16
             if cfg.parallel.compute_dtype == "bfloat16" else jnp.float32,
             fused_gn=cfg.parallel.fused_groupnorm,
+            fused_block=cfg.parallel.fused_resblock,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -161,6 +163,7 @@ class DiffusionUNet(nn.Module):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
                     dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
+                    fused_block=self.fused_block,
                     name=f"down_{i_level}_block_{i_block}",
                 )(hs[-1], temb, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
@@ -174,10 +177,12 @@ class DiffusionUNet(nn.Module):
 
         # middle
         h = hs[-1]
-        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn, name="mid_block_1")(
+        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
+                      fused_block=self.fused_block, name="mid_block_1")(
             h, temb, deterministic=deterministic)
         h = AttnBlock(dtype=dt, fused_gn=self.fused_gn, name="mid_attn_1")(h)
-        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn, name="mid_block_2")(
+        h = block_cls(dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
+                      fused_block=self.fused_block, name="mid_block_2")(
             h, temb, deterministic=deterministic)
 
         # upsampling (num_res_blocks + 1 blocks per level, skip-concat)
@@ -186,6 +191,7 @@ class DiffusionUNet(nn.Module):
                 h = block_cls(
                     out_channels=self.ch * self.ch_mult[i_level],
                     dropout=self.dropout, dtype=dt, fused_gn=self.fused_gn,
+                    fused_block=self.fused_block,
                     name=f"up_{i_level}_block_{i_block}",
                 )(jnp.concatenate([h, hs.pop()], axis=-1), temb,
                   deterministic=deterministic)
