@@ -113,9 +113,22 @@ def main():
     cond, gt = pair_src[0]
     cond, gt = cond[None], gt[None]  # (1, 480, 720, 3)
 
-    def build(dtype: str) -> DiffusiveRestoration:
+    def build(dtype: str, t_start: int = 0,
+              fused: bool = False) -> DiffusiveRestoration:
         c = copy.deepcopy(cfg)
         c.parallel.compute_dtype = dtype
+        c.parallel.fused_resblock = fused
+        if t_start:
+            # production sampling mode: truncated refinement from the
+            # stage-1 LL (sampling.t_start) -- measured BETTER quality than
+            # the full reference chain at 2.5x fewer UNet passes (README
+            # "Quality loop"); reported as its own config and allowed to
+            # take the headline only if it clears the same quality gate
+            c.sampling.t_start = t_start
+            c.sampling.sampling_timesteps = 10
+            c.sampling.x0_pred_index = -1
+            c.sampling.init_ll = "hfrm"
+        c.validate()
         u = DiffusionUNet.from_config(c)
         h = HFRM.from_config(c)
         return DiffusiveRestoration(c, u.apply, uparams, h.apply, hparams)
@@ -179,6 +192,30 @@ def main():
                              for i in range(out_b8.shape[0])]))
     configs["bf16_b8"] = {"s_per_image": dt_bf16_b8, "psnr": psnr_b8}
 
+    def add_config(key, **kw):
+        r = build("bfloat16", **kw)
+        d, _, o = measure(r, 8)
+        ps = float(np.mean([psnr_torch(gt[0], o[i])
+                            for i in range(o.shape[0])]))
+        configs[key] = {"s_per_image": d, "psnr": ps}
+        return r
+
+    # fused GN->swish->conv3x3 ResnetBlock pairs (second attack on the
+    # 25% GroupNorm trace item; ops/fused_resblock.py)
+    try:
+        add_config("bf16_b8_fused", fused=True)
+    except Exception as e:  # keep the bench robust to Mosaic regressions
+        configs["bf16_b8_fused"] = {"s_per_image": float("inf"),
+                                    "psnr": -1.0, "error": str(e)[:200]}
+    # production sampling: truncated refinement (10 steps from HFRM LL)
+    r_tstart = add_config("bf16_b8_tstart", t_start=300)
+    try:
+        add_config("bf16_b8_tstart_fused", t_start=300, fused=True)
+    except Exception as e:
+        configs["bf16_b8_tstart_fused"] = {"s_per_image": float("inf"),
+                                           "psnr": -1.0,
+                                           "error": str(e)[:200]}
+
     # headline = fastest config within 0.05 dB of f32 quality
     ok = {k: v for k, v in configs.items()
           if v["psnr"] >= float(psnr_f32) - 0.05}
@@ -187,8 +224,9 @@ def main():
     ips = 1.0 / best_dt
 
     if trace_dir:
-        restorer = r_bf16 if best_key.startswith("bf16") else r_f32
-        measure(restorer, 8 if best_key.endswith("b8") else 1,
+        restorer = (r_tstart if "tstart" in best_key
+                    else r_bf16 if best_key.startswith("bf16") else r_f32)
+        measure(restorer, 1 if best_key.endswith("b1") else 8,
                 n_iter=2, trace_dir=trace_dir)
 
     # ---- FLOPs / MFU ------------------------------------------------------
@@ -206,7 +244,9 @@ def main():
     fl_unet = _flops_of(unet_fwd, uparams, x_probe, jnp.zeros((K,)))
     hfrm_fwd = jax.jit(lambda v, x: hfrm.apply({"params": v}, x))
     fl_hfrm = _flops_of(hfrm_fwd, hparams, jnp.zeros((1, 480, 720, 3)))
-    n_steps = cfg.sampling.sampling_timesteps
+    # the headline config's actual chain length (truncated-refinement
+    # configs run 10 steps, the reference protocol 25)
+    n_steps = 10 if "tstart" in best_key else cfg.sampling.sampling_timesteps
     flops_per_image = n_steps * fl_unet + fl_hfrm
     achieved = flops_per_image * ips if flops_per_image else 0.0
 
