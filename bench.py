@@ -257,7 +257,9 @@ def main():
     # ---- reference-style execution on the same chip -----------------------
     m = cfg.model
     mask = _count_mask(corners, hw, ww, p)[None, :, :, None]
-    seq = ddim_timesteps(cfg.diffusion.num_diffusion_timesteps, n_steps)
+    # the baseline always runs the reference protocol's 25-step chain
+    seq = ddim_timesteps(cfg.diffusion.num_diffusion_timesteps,
+                         cfg.sampling.sampling_timesteps)
     abar = np.asarray(alpha_bars(r_f32.betas))
     unet_ref = jax.jit(lambda v, x, t: unet.apply({"params": v}, x, t))
 
