@@ -114,6 +114,7 @@ class DiffusionUNetGlobal(nn.Module):
     resolution: int = 64
     global_channels: int = 48
     compute_dtype: jnp.dtype = jnp.float32
+    fused_block: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "DiffusionUNetGlobal":
@@ -131,6 +132,7 @@ class DiffusionUNetGlobal(nn.Module):
             global_channels=cfg.model.in_channels,
             compute_dtype=jnp.bfloat16
             if cfg.parallel.compute_dtype == "bfloat16" else jnp.float32,
+            fused_block=cfg.parallel.fused_resblock,
         )
 
     @nn.compact
@@ -153,6 +155,7 @@ class DiffusionUNetGlobal(nn.Module):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
                 h = ResnetBlock(out_channels=block_out, dropout=self.dropout,
+                                fused_block=self.fused_block,
                                 dtype=dt,
                                 name=f"down_{i_level}_block_{i_block}")(
                     h, temb, deterministic=deterministic)
@@ -179,16 +182,19 @@ class DiffusionUNetGlobal(nn.Module):
         # middle -- restarts from hs[-1], discarding the last global attn
         # (reference models/unet.py:582-585)
         h = hs[-1]
-        h = ResnetBlock(dropout=self.dropout, dtype=dt, name="mid_block_1")(
+        h = ResnetBlock(dropout=self.dropout, dtype=dt,
+                        fused_block=self.fused_block, name="mid_block_1")(
             h, temb, deterministic=deterministic)
         h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=self.dropout, dtype=dt, name="mid_block_2")(
+        h = ResnetBlock(dropout=self.dropout, dtype=dt,
+                        fused_block=self.fused_block, name="mid_block_2")(
             h, temb, deterministic=deterministic)
 
         for i_level in reversed(range(num_levels)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 h = ResnetBlock(out_channels=block_out, dropout=self.dropout,
+                                fused_block=self.fused_block,
                                 dtype=dt,
                                 name=f"up_{i_level}_block_{i_block}")(
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
