@@ -13,7 +13,7 @@ REPO=/root/repo
 DRIVER="$REPO/scripts/r3_quality_run.sh"
 RUNLOG=/tmp/r3run.log
 PIDFILE=/tmp/r3run.pid
-STALL_S=${STALL_S:-900}
+STALL_S=${STALL_S:-2400}
 
 newest_mtime() {
   local t=0 f
