@@ -53,5 +53,10 @@ echo "finisher: eval sweep ($(date -u))"
 bash scripts/r3_eval_sweep.sh > results/r3_sweep.log 2>&1
 echo "finisher: bench ($(date -u))"
 python bench.py > results/r3_bench_trained.json 2> results/r3_bench_trained.err
+echo "finisher: roofline ($(date -u))"
+python tools/roofline.py --batch 8 --dtype bfloat16 \
+    > results/r3_roofline.log 2>&1
+python tools/roofline.py --batch 8 --dtype bfloat16 --fused \
+    > results/r3_roofline_fused.log 2>&1
 touch "$SENTINEL"
 echo "finisher: done ($(date -u))"

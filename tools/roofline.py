@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8, help="images per program")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="enable the Pallas fused ResnetBlock prefix "
+                         "(parallel.fused_resblock)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,7 @@ def main():
 
     cfg = load_config("wavedm_tpu/configs/raindrop_wavelet.yaml")
     cfg.parallel.compute_dtype = args.dtype
+    cfg.parallel.fused_resblock = args.fused
     model = DiffusionUNet.from_config(cfg)
     key = jax.random.PRNGKey(0)
     K = 45 * args.batch  # 45-patch grid x image batch
@@ -79,7 +83,7 @@ def main():
     peak_f, peak_b = next(
         (v for k, v in PEAKS.items() if kind.startswith(k)), (None, None))
     print(f"device: {kind}   batch: {args.batch} images "
-          f"({K} patches)   dtype: {args.dtype}")
+          f"({K} patches)   dtype: {args.dtype}   fused: {args.fused}")
     print(f"flops/call: {flops:.3e}   bytes/call: {bytes_acc:.3e}   "
           f"arithmetic intensity: {flops / max(bytes_acc, 1):.1f} flop/byte")
     print(f"measured: {dt * 1e3:.1f} ms/call  "
