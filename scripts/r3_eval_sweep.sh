@@ -33,6 +33,6 @@ run t300_s5  --t-start 300 --sampling-timesteps 5 --init-ll hfrm --x0-pred-index
 run t300_s10_cond --t-start 300 --sampling-timesteps 10 --init-ll cond --x0-pred-index -1
 
 python -u tools/diag_quality.py --config "$CFG" --resume "$CK" \
-    --hfrm-ckpt "$HF" --split both --n 2 2>&1 | tail -40 \
+    --hfrm-ckpt "$HF" --split both --n 8 2>&1 | tail -60 \
     | tee "$OUT/diag.log"
 echo "sweep done"
