@@ -171,50 +171,83 @@ def main():
 
     trace_dir = os.environ.get("WAVEDM_TRACE_DIR") or None
 
+    # ---- contention canary -------------------------------------------------
+    # Round 3's numbers were captured while a training process shared the
+    # chip (VERDICT r3 weak #1) and nothing recorded it.  A fixed matmul
+    # canary timed against the cached value flags a busy/degraded device.
+    def canary_ms():
+        a = jnp.ones((4096, 4096), jnp.bfloat16)
+        f = jax.jit(lambda x: x @ x)
+        _sync(f(a))
+        t0 = time.time()
+        for _ in range(8):
+            out = f(a)
+        _sync(out)
+        return (time.time() - t0) / 8 * 1000
+
+    contention = None
+    can_ms = canary_ms()
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            _c = json.load(f)
+        ref_can = _c.get("canary_ms")
+        if (_c.get("backend") == jax.default_backend() and ref_can
+                and can_ms > 1.3 * ref_can):
+            contention = (f"canary matmul {can_ms:.2f} ms vs cached "
+                          f"{ref_can:.2f} ms -- device likely contended; "
+                          "numbers in this artifact are suspect")
+            print(f"WARNING: {contention}")
+        elif _c.get("backend") == jax.default_backend() and not ref_can:
+            # backfill the canary reference from this (presumed-clean) run
+            _c["canary_ms"] = can_ms
+            with open(_BASELINE_CACHE, "w") as f:
+                json.dump(_c, f)
+
     # ---- quality gate: PSNR on the synthetic pair, fixed rng --------------
-    r_f32 = build("float32")
+    REF_STEPS = cfg.sampling.sampling_timesteps       # reference protocol
+    PROD_TSTART, PROD_STEPS = 300, 10                 # production profile
 
-    configs = {}
-    dt_f32_b1, rb_f32, out_f32 = measure(r_f32, 1)
-    psnr_f32 = psnr_torch(gt[0], out_f32[0])
-    configs["f32_b1"] = {"s_per_image": dt_f32_b1, "psnr": float(psnr_f32)}
+    restorers, configs = {}, {}
 
-    r_bf16 = build("bfloat16")
-    dt_bf16_b1, rb_bf16, out_bf16 = measure(r_bf16, 1)
-    psnr_bf16 = psnr_torch(gt[0], out_bf16[0])
-    configs["bf16_b1"] = {"s_per_image": dt_bf16_b1, "psnr": float(psnr_bf16)}
-    # image batching saturates the chip around batch 8 (719 ms/img vs 882
-    # at b4, 699 at b16 -- diminishing); b8 is the serving sweet spot.
-    # PSNR comes from the batch's own outputs (same image repeated): the
-    # headline config's quality is measured, not inherited (ADVICE r2).
-    dt_bf16_b8, _, out_b8 = measure(r_bf16, 8)
-    psnr_b8 = float(np.mean([psnr_torch(gt[0], out_b8[i])
-                             for i in range(out_b8.shape[0])]))
-    configs["bf16_b8"] = {"s_per_image": dt_bf16_b8, "psnr": psnr_b8}
-
-    def add_config(key, **kw):
-        r = build("bfloat16", **kw)
-        d, _, o = measure(r, 8)
+    def add_config(key, dtype, batch, **kw):
+        protocol = "production" if kw.get("t_start") else "reference"
+        steps = PROD_STEPS if kw.get("t_start") else REF_STEPS
+        try:
+            r = build(dtype, **kw)
+            d, rb, o = measure(r, batch)
+        except Exception as e:  # keep the bench robust to Mosaic regressions
+            configs[key] = {"s_per_image": float("inf"), "psnr": -1.0,
+                            "steps": steps, "protocol": protocol,
+                            "error": str(e)[:500]}
+            return None, None, None
+        # PSNR comes from the batch's own outputs (same image repeated): the
+        # headline config's quality is measured, not inherited (ADVICE r2).
         ps = float(np.mean([psnr_torch(gt[0], o[i])
                             for i in range(o.shape[0])]))
-        configs[key] = {"s_per_image": d, "psnr": ps}
-        return r
+        configs[key] = {"s_per_image": d, "psnr": ps,
+                        "steps": steps, "protocol": protocol}
+        restorers[key] = (r, batch)
+        return d, rb, o
 
+    dt_f32_b1, rb_f32, out_f32 = add_config("f32_b1", "float32", 1)
+    psnr_f32 = configs["f32_b1"]["psnr"]
+    _, rb_bf16, _ = add_config("bf16_b1", "bfloat16", 1)
+    # image batching saturates the chip around batch 8 (719 ms/img vs 882
+    # at b4, 699 at b16 -- diminishing); b8 is the serving sweet spot.
+    add_config("bf16_b8", "bfloat16", 8)
     # fused GN->swish->conv3x3 ResnetBlock pairs (second attack on the
     # 25% GroupNorm trace item; ops/fused_resblock.py)
-    try:
-        add_config("bf16_b8_fused", fused=True)
-    except Exception as e:  # keep the bench robust to Mosaic regressions
-        configs["bf16_b8_fused"] = {"s_per_image": float("inf"),
-                                    "psnr": -1.0, "error": str(e)[:200]}
+    add_config("bf16_b8_fused", "bfloat16", 8, fused=True)
     # production sampling: truncated refinement (10 steps from HFRM LL)
-    r_tstart = add_config("bf16_b8_tstart", t_start=300)
-    try:
-        add_config("bf16_b8_tstart_fused", t_start=300, fused=True)
-    except Exception as e:
-        configs["bf16_b8_tstart_fused"] = {"s_per_image": float("inf"),
-                                           "psnr": -1.0,
-                                           "error": str(e)[:200]}
+    add_config("bf16_b8_tstart", "bfloat16", 8, t_start=PROD_TSTART)
+    add_config("bf16_b8_tstart_fused", "bfloat16", 8,
+               t_start=PROD_TSTART, fused=True)
+
+    # HFRM-alone quality bar: the diffusion stage must BEAT this for the
+    # two-stage pipeline to be worth running (VERDICT r3 weak #4)
+    r_f32 = restorers["f32_b1"][0]
+    _, hfrm_dev = r_f32.restore_image_device(cond, jax.random.PRNGKey(99))
+    psnr_hfrm = float(psnr_torch(gt[0], np.asarray(hfrm_dev)[0]))
 
     # headline = fastest config within 0.05 dB of f32 quality
     ok = {k: v for k, v in configs.items()
@@ -223,11 +256,23 @@ def main():
     best_dt = ok[best_key]["s_per_image"]
     ips = 1.0 / best_dt
 
-    if trace_dir:
-        restorer = (r_tstart if "tstart" in best_key
-                    else r_bf16 if best_key.startswith("bf16") else r_f32)
-        measure(restorer, 1 if best_key.endswith("b1") else 8,
-                n_iter=2, trace_dir=trace_dir)
+    def _best(protocol):
+        c = {k: v for k, v in ok.items() if v["protocol"] == protocol}
+        if not c:
+            return None
+        k = min(c, key=lambda q: c[q]["s_per_image"])
+        return {"config": k,
+                "ms_per_image": round(c[k]["s_per_image"] * 1000, 1),
+                "images_per_sec": round(1.0 / c[k]["s_per_image"], 4),
+                "psnr_db": round(c[k]["psnr"], 3)}
+
+    best_ref = _best("reference")       # 25-step chain from pure noise
+    best_prod = _best("production")     # t_start truncated refinement
+
+    if trace_dir and best_key in restorers:
+        # trace the EXACT program instance that produced the headline number
+        restorer, bsz = restorers[best_key]
+        measure(restorer, bsz, n_iter=2, trace_dir=trace_dir)
 
     # ---- FLOPs / MFU ------------------------------------------------------
     # compiled cost analysis of the constituent programs at the headline
@@ -236,8 +281,8 @@ def main():
     p = cfg.data.image_size
     corners = overlapping_grid_corners(hw, ww, p, cfg.sampling.grid_r)
     K = len(corners)
-    u_best = (DiffusionUNet.from_config(r_bf16.cfg)
-              if best_key.startswith("bf16") else unet)
+    u_best = (DiffusionUNet.from_config(restorers[best_key][0].cfg)
+              if best_key in restorers else unet)
     unet_fwd = jax.jit(lambda v, x, t: u_best.apply({"params": v}, x, t))
     x_probe = jnp.zeros((K, p, p, 96),
                         jnp.float32)
@@ -246,7 +291,7 @@ def main():
     fl_hfrm = _flops_of(hfrm_fwd, hparams, jnp.zeros((1, 480, 720, 3)))
     # the headline config's actual chain length (truncated-refinement
     # configs run 10 steps, the reference protocol 25)
-    n_steps = 10 if "tstart" in best_key else cfg.sampling.sampling_timesteps
+    n_steps = configs[best_key]["steps"]
     flops_per_image = n_steps * fl_unet + fl_hfrm
     achieved = flops_per_image * ips if flops_per_image else 0.0
 
@@ -307,10 +352,16 @@ def main():
         ref_dt = time.time() - t0
         with open(_BASELINE_CACHE, "w") as f:
             json.dump({"reference_style_s_per_image": ref_dt,
+                       "canary_ms": can_ms,
                        "backend": jax.default_backend()}, f)
 
+    # honest headline label: the protocol the winning config actually ran
+    mode = ("truncated-refinement DDIM (production profile)"
+            if configs[best_key]["protocol"] == "production"
+            else "DDIM (reference protocol)")
     result = {
-        "metric": "RainDrop 720x480 restoration, 25-step DDIM, flagship WaveDM",
+        "metric": (f"RainDrop 720x480 restoration, {n_steps}-step {mode}, "
+                   "flagship WaveDM"),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         # same math, same dtype, same batch: f32_b1 fused program vs the
@@ -321,20 +372,29 @@ def main():
         "detail": {
             "headline_config": best_key,
             "headline_vs_reference_style": round(ips * ref_dt, 2),
+            # both protocols, first-class (VERDICT r3 weak #5): the
+            # reference-protocol number is the round-over-round comparable
+            "reference_protocol": best_ref,
+            "production": best_prod,
             "trained_weights": trained,
             "eval_severity": severity,
-            "fused_ms_per_image": round(best_dt * 1000, 1),
+            "contention_warning": contention,
+            "canary_ms": round(can_ms, 2),
             "timing_basis": "device-complete (scalar sync per call); full "
                             "host readback timed separately below (the dev "
                             "tunnel makes readback ~100x a PCIe host's)",
             "readback_ms_per_image": {
                 "f32": round(rb_f32 * 1000, 1),
                 "bf16": round(rb_bf16 * 1000, 1)},
-            "configs_ms_per_image": {
-                k: round(v["s_per_image"] * 1000, 1) for k, v in configs.items()},
-            "psnr_f32_db": round(float(psnr_f32), 3),
-            "psnr_bf16_db": round(float(psnr_bf16), 3),
-            "psnr_bf16_b8_db": round(psnr_b8, 3),
+            "configs": {
+                k: {"ms_per_image": (round(v["s_per_image"] * 1000, 1)
+                                     if np.isfinite(v["s_per_image"])
+                                     else None),
+                    "psnr_db": round(v["psnr"], 3),
+                    "steps": v["steps"], "protocol": v["protocol"],
+                    **({"error": v["error"]} if "error" in v else {})}
+                for k, v in configs.items()},
+            "psnr_hfrm_alone_db": round(psnr_hfrm, 3),
             "flops_per_image": flops_per_image,
             "achieved_flops_per_s": achieved,
             "device_kind": kind,

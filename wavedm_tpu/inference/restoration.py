@@ -432,10 +432,21 @@ class DiffusiveRestoration:
                 flush(buf)
                 buf = []
         flush(buf)
+        sums = np.array([np.sum(psnr_t), np.sum(psnr_y), np.sum(psnr_n),
+                         np.sum(ssims), float(len(psnr_t))], np.float64)
+        if jax.process_count() > 1:
+            # each process saw only its index-striped shard of the split
+            # (data/raindrop.py): all-reduce metric sums + counts so every
+            # process reports FULL-set means, not 1/P of the set
+            from jax.experimental import multihost_utils
+            sums = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(sums))
+            ).sum(axis=0)
+        n = max(sums[4], 1.0)
         return {
-            "psnr_torch": float(np.mean(psnr_t)),
-            "psnr_y": float(np.mean(psnr_y)),
-            "psnr_np_y": float(np.mean(psnr_n)),
-            "ssim": float(np.mean(ssims)),
-            "n_images": len(psnr_t),
+            "psnr_torch": float(sums[0] / n),
+            "psnr_y": float(sums[1] / n),
+            "psnr_np_y": float(sums[2] / n),
+            "ssim": float(sums[3] / n),
+            "n_images": int(sums[4]),
         }

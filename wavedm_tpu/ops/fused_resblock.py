@@ -104,10 +104,12 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, out_ref, pad_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _co_chunk(cin: int, cout: int) -> int:
+def _co_chunk(cin: int, cout: int, compute_dtype=jnp.bfloat16) -> int:
     """Largest Cout chunk (multiple of 128 when possible) whose weight block
     fits the VMEM budget."""
-    per_co = 9 * cin * 2  # bf16 weight bytes per output channel
+    # weight bytes per output channel at the ACTUAL compute dtype -- a
+    # hardcoded 2 under-budgets by 2x when compute_dtype is float32
+    per_co = 9 * cin * jnp.dtype(compute_dtype).itemsize
     chunk = max(1, _W_BYTES_MAX // per_co)
     if cout <= chunk:
         return cout
@@ -136,7 +138,7 @@ def _forward(x, scale, bias, w, b, compute_dtype):
         # shapes the kernel's layout rules don't cover -> XLA composition
         return _reference_impl(x, scale, bias, w, b,
                                compute_dtype=compute_dtype)
-    co = _co_chunk(cin, cout)
+    co = _co_chunk(cin, cout, compute_dtype)
     wk = w.reshape(9, cin, cout).astype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
 

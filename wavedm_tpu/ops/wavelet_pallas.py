@@ -1,12 +1,25 @@
-"""Pallas TPU kernel for the Haar wavelet-packet transform (scale 2).
+"""Pallas kernel for the Haar wavelet-packet transform (scale 2) --
+RETIRED on TPU hardware; kept as the interpret-mode template.
 
 The production DWT/IWT (ops/wavelet.py) lowers to reshape + MXU matmul and is
-already HBM-bandwidth-bound under XLA; this Pallas variant fuses the block
+already HBM-bandwidth-bound under XLA; this Pallas variant fused the block
 reshuffle and the 16x16 basis contraction into one VMEM-resident kernel as
-the hand-written alternative (and as the template for fusing further work
-into the same pass).  Selected via ``wavelet_dec_pallas`` / the
-``WAVEDM_WAVELET_IMPL=pallas`` env knob; numerics are identical (fp32,
-verified against ops/wavelet.py in tests).
+the hand-written alternative.  **Measured negative result (round 4, real
+v5e):** Mosaic rejects the kernel's pixel-block reshuffle --
+
+    infer-vector-layout: unsupported shape cast
+    %7 = "tpu.reshape"(%6) : (vector<32x2160xf32>)
+                           -> vector<8x4x180x4x3xf32>
+
+the rank-5 view with minor dims (4, C=3) has no legal (sublane, lane)
+layout.  The shuffle could only be made Mosaic-legal by burning MXU FLOPs on
+block-diagonal permutation matmuls, and the XLA path is already at the HBM
+roofline for this op (~1 R + 1 W), so there is no headroom for a hand
+kernel to win.  The functions below therefore raise on a real TPU backend
+(tools/pallas_smoke.py records this as the expected outcome) and remain
+available in interpret mode, where numerics are identical to ops/wavelet.py
+(fp32, verified in tests/test_wavelet_pallas.py).  Same engineering verdict
+as the round-2 standalone GroupNorm kernel (config.py fused_groupnorm note).
 
 Kernel layout: the image is viewed as one 2D array of 4-row groups x
 (W*C) lanes; each grid step processes ROWS_PER_STEP output rows, reshaping
@@ -74,8 +87,17 @@ def _call(kernel, x2d, basis, out_rows, out_cols, in_rows_per_step,
     )(x2d, basis)
 
 
+def _reject_on_tpu(interpret: bool):
+    if not interpret and jax.default_backend() == "tpu":
+        raise NotImplementedError(
+            "wavelet Pallas kernel is a documented negative result on TPU "
+            "(Mosaic: unsupported shape cast on the pixel-block reshuffle); "
+            "use ops.wavelet -- the XLA path is already HBM-roofline-bound")
+
+
 def wavelet_dec_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     """Scale-2 Haar packet DWT, NHWC (B, H, W, C) -> (B, H/4, W/4, 16*C)."""
+    _reject_on_tpu(interpret)
     b, h, w, c = x.shape
     assert h % 4 == 0 and w % 4 == 0
     rows = _ROWS_PER_STEP
@@ -98,6 +120,7 @@ def wavelet_dec_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
 
 def wavelet_rec_pallas(z: jax.Array, interpret: bool = False) -> jax.Array:
     """Inverse of wavelet_dec_pallas: (B, H, W, 16*C) -> (B, 4H, 4W, C)."""
+    _reject_on_tpu(interpret)
     b, h, w, fc = z.shape
     c = fc // 16
     rows = _ROWS_PER_STEP
