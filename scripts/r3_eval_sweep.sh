@@ -12,7 +12,7 @@ from wavedm_tpu.utils.checkpoint import find_latest_checkpoint
 print(find_latest_checkpoint('saved_models/r3_ddpm') or '')")}
 [ -z "$CK" ] && { echo "no r3_ddpm checkpoint"; exit 1; }
 echo "evaluating $CK"
-OUT=results/r3_sweep
+OUT=${OUT:-results/r3_sweep}
 mkdir -p "$OUT"
 
 run() {
