@@ -11,8 +11,12 @@
 set -u
 
 REPO=/root/repo
-DEADLINE=${DEADLINE:-$(date -u -d "19:30" +%s)}
+DEADLINE=${DEADLINE:-$(date -u -d "23:30" +%s)}
 SENTINEL=$REPO/results/R4_EVIDENCE_DONE
+# the interactive session touches this every turn; a stale heartbeat means
+# the session died and the backstop must take over
+HEARTBEAT=/tmp/r4_heartbeat
+HEARTBEAT_STALE=900
 
 [ -e "$SENTINEL" ] && { echo "r4_finish: already done"; exit 0; }
 mkdir -p "$REPO/results"
@@ -23,8 +27,16 @@ while true; do
   pid=$(cat /tmp/r3run.pid 2>/dev/null || echo "")
   alive=no
   [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null && alive=yes
-  if [ "$now" -ge "$DEADLINE" ] || [ "$alive" = no ]; then
-    break
+  hb_fresh=no
+  if [ -e "$HEARTBEAT" ]; then
+    hb_age=$(( now - $(stat -c %Y "$HEARTBEAT") ))
+    [ "$hb_age" -lt "$HEARTBEAT_STALE" ] && hb_fresh=yes
+  fi
+  if [ "$now" -ge "$DEADLINE" ]; then
+    break                       # hard deadline: engage regardless
+  fi
+  if [ "$alive" = no ] && [ "$hb_fresh" = no ]; then
+    break                       # training done AND the session is dead
   fi
   sleep 60
 done

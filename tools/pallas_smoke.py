@@ -54,6 +54,42 @@ def _case(name, fn, *args):
     return rec["ok"]
 
 
+def _derive_flagship_sites(n=8):
+    """Unique (N, H, W, Cin, Cout) shapes the fused kernel sees in one
+    flagship-UNet forward, via an abstract trace (no FLOPs, any backend)."""
+    import wavedm_tpu.ops.fused_resblock as frb
+    import wavedm_tpu.models.layers as mlayers
+    from wavedm_tpu.config import load_config
+    from wavedm_tpu.models.unet import DiffusionUNet
+
+    cfg = load_config("wavedm_tpu/configs/rehearsal_flagship.yaml")
+    model = DiffusionUNet.from_config(cfg, fused_block=True)
+
+    seen = set()
+    real = frb.fused_gn_swish_conv
+
+    def spy(x, scale, bias, w, b, compute_dtype=jnp.bfloat16):
+        seen.add(tuple(x.shape) + (w.shape[-1],))
+        return frb._reference_impl(x, scale, bias, w, b,
+                                   compute_dtype=compute_dtype)
+
+    frb.fused_gn_swish_conv = spy
+    mlayers.fused_gn_swish_conv = spy  # in case of a from-import binding
+    try:
+        x = jax.ShapeDtypeStruct((n, 64, 64, cfg.model.unet_in_channels),
+                                 jnp.float32)
+        t = jax.ShapeDtypeStruct((n,), jnp.float32)
+
+        def fwd(xx, tt):
+            variables = model.init(jax.random.PRNGKey(0), xx, tt)
+            return model.apply(variables, xx, tt)
+
+        jax.eval_shape(fwd, x, t)
+    finally:
+        frb.fused_gn_swish_conv = real
+    return seen
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16")
@@ -64,20 +100,15 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- fused ResnetBlock prefix at every flagship UNet site shape -------
-    # (N, H, W, Cin) -> Cout, from the ch=128, ch_mult (1,2,4,6) UNet over
-    # 64^2 wavelet patches; N=8 is one bench micro-batch worth of patches.
+    # The site list is DERIVED by abstractly tracing the flagship UNet with
+    # the kernel entry monkeypatched to record shapes -- a hand-maintained
+    # list missed the 8x64x64x384 up-concat site whose VMEM overflow was the
+    # round-3 bench failure.  N=8 is one bench micro-batch worth of patches.
+    import wavedm_tpu.ops.fused_resblock as frb
     from wavedm_tpu.ops.fused_resblock import fused_gn_swish_conv
-    sites = [
-        (8, 64, 64, 128, 128),   # level-0 down blocks
-        (8, 64, 64, 256, 128),   # level-0 up skip-concat
-        (8, 32, 32, 256, 256),
-        (8, 32, 32, 512, 256),
-        (8, 16, 16, 512, 512),
-        (8, 16, 16, 1024, 512),
-        (8, 16, 16, 1280, 512),  # cross-level up concat (512+768)
-        (8, 8, 8, 768, 768),
-        (8, 8, 8, 1536, 768),    # deepest up skip-concat (largest weights)
-    ]
+    sites = sorted(_derive_flagship_sites())
+    print(json.dumps({"derived_sites": [list(s) for s in sites]}),
+          flush=True)
     for (n, h, w, cin, cout) in sites:
         x = jnp.asarray(rng.standard_normal((n, h, w, cin)), cdt)
         scale = jnp.asarray(rng.standard_normal((cin,)), jnp.float32)

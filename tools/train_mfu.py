@@ -29,9 +29,15 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--peak", type=float, default=197e12,
                     help="chip peak FLOP/s for the MFU denominator")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for the FLOP count (the "
+                         "axon TPU plugin ignores JAX_PLATFORMS=cpu; this "
+                         "uses jax.config, which it honors)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from wavedm_tpu.config import load_config

@@ -65,18 +65,29 @@ def _reference_impl(x, scale, bias, w, b, *, compute_dtype):
 
 
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, out_ref, pad_ref,
-            *, h, w_dim, cin, co_chunk, compute_dtype):
+            *, h, w_dim, cin, co_chunk, compute_dtype, row_chunks):
     g = _GROUPS
     cg = cin // g
-    x2d = x_ref[0].reshape(h * w_dim, cin).astype(jnp.float32)
-    # One-pass statistics.  Group reduction/broadcast ride tiny matmuls
-    # against a constant 0/1 membership matrix -- avoids lane-splitting
-    # (Cin,) -> (g, Cin/g) reshapes that Mosaic cannot lay out.
+    rc = h // row_chunks                           # image rows per chunk
+    # Two CHUNKED passes over the sample (stats, then normalize+swish into
+    # the pad scratch): a whole-block float32 view of the activation is
+    # 2 x h*w*cin*4 bytes of live VMEM -- at the 64x64x384 up-level site
+    # that alone is 12.6 MB and the kernel blew the 16 MB scoped-vmem limit
+    # (the round-3 bench failure).  Chunking keeps f32 temporaries at
+    # ~h*w*cin*4/row_chunks while the statistics stay exact (f32 sums).
+    s1 = jnp.zeros((1, cin), jnp.float32)
+    s2 = jnp.zeros((1, cin), jnp.float32)
+    for i in range(row_chunks):
+        xc = x_ref[0, i * rc:(i + 1) * rc].reshape(rc * w_dim, cin)
+        xc = xc.astype(jnp.float32)
+        s1 = s1 + jnp.sum(xc, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
+    # Group reduction/broadcast ride tiny matmuls against a constant 0/1
+    # membership matrix -- avoids lane-splitting (Cin,) -> (g, Cin/g)
+    # reshapes that Mosaic cannot lay out.
     ch = jax.lax.broadcasted_iota(jnp.int32, (cin, g), 0) // cg
     gr = jax.lax.broadcasted_iota(jnp.int32, (cin, g), 1)
     memb = (ch == gr).astype(jnp.float32)          # (Cin, g)
-    s1 = jnp.sum(x2d, axis=0, keepdims=True)       # (1, Cin)
-    s2 = jnp.sum(x2d * x2d, axis=0, keepdims=True)
     npix = float(h * w_dim * cg)
     gmean = jnp.dot(s1, memb, preferred_element_type=jnp.float32) / npix
     gm2 = jnp.dot(s2, memb, preferred_element_type=jnp.float32) / npix
@@ -84,13 +95,16 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, out_ref, pad_ref,
     mu_c = jnp.dot(gmean, memb.T, preferred_element_type=jnp.float32)
     rs_c = jnp.dot(rstd, memb.T, preferred_element_type=jnp.float32)
     a = rs_c * scale_ref[:]                        # (1, Cin) folded affine
-    y = (x2d - mu_c) * a + bias_ref[:]
-    y = y * jax.nn.sigmoid(y)
-    y = y.astype(compute_dtype)
+    bb = bias_ref[:] - mu_c * a                    # y = x*a + bb
 
     # zero-padded copy for the 9 shifted windows
     pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[1:h + 1, 1:w_dim + 1, :] = y.reshape(h, w_dim, cin)
+    for i in range(row_chunks):
+        xc = x_ref[0, i * rc:(i + 1) * rc].reshape(rc * w_dim, cin)
+        y = xc.astype(jnp.float32) * a + bb
+        y = y * jax.nn.sigmoid(y)
+        pad_ref[1 + i * rc:1 + (i + 1) * rc, 1:w_dim + 1, :] = (
+            y.astype(compute_dtype).reshape(rc, w_dim, cin))
 
     acc = jnp.zeros((h * w_dim, co_chunk), jnp.float32)
     k = 0
@@ -131,6 +145,26 @@ def fused_gn_swish_conv(x, scale, bias, w, b, compute_dtype=jnp.bfloat16):
     return _forward(x, scale, bias, w, b, compute_dtype)
 
 
+def _row_chunks(h: int, w_dim: int, cin: int) -> int:
+    """Row-chunk count keeping each f32 pass temporary under ~1.5 MB."""
+    rc = 1
+    while h % (rc * 2) == 0 and (h // rc) * w_dim * cin * 4 > 1_500_000:
+        rc *= 2
+    return rc
+
+
+def _vmem_estimate(h, w_dim, cin, co, x_itemsize, cdt_size, rc) -> int:
+    """Upper-bound VMEM bytes for one grid step (blocks + scratch + the
+    dominant transients); used to fall back to XLA before Mosaic hits the
+    16 MB scoped limit (measured failure: 64x64x384 site, 17.36 MB)."""
+    return (h * w_dim * cin * x_itemsize            # x block
+            + (h + 2) * (w_dim + 2) * cin * cdt_size  # pad scratch
+            + 9 * cin * co * cdt_size               # weight block
+            + h * w_dim * co * (x_itemsize + 4)     # out block + f32 acc
+            + h * w_dim * cin * cdt_size            # one shifted-window copy
+            + 3 * (h // rc) * w_dim * cin * 4)      # chunked f32 pass temps
+
+
 def _forward(x, scale, bias, w, b, compute_dtype):
     n, h, w_dim, cin = x.shape
     cout = w.shape[-1]
@@ -139,13 +173,19 @@ def _forward(x, scale, bias, w, b, compute_dtype):
         return _reference_impl(x, scale, bias, w, b,
                                compute_dtype=compute_dtype)
     co = _co_chunk(cin, cout, compute_dtype)
+    rc = _row_chunks(h, w_dim, cin)
+    if _vmem_estimate(h, w_dim, cin, co, jnp.dtype(x.dtype).itemsize,
+                      jnp.dtype(compute_dtype).itemsize, rc) > 14_000_000:
+        # would not fit the ~16 MB/core VMEM -> XLA composition
+        return _reference_impl(x, scale, bias, w, b,
+                               compute_dtype=compute_dtype)
     wk = w.reshape(9, cin, cout).astype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
 
     grid = (n, cout // co)
     out = pl.pallas_call(
         functools.partial(_kernel, h=h, w_dim=w_dim, cin=cin, co_chunk=co,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, row_chunks=rc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, w_dim, cin), lambda i, j: (i, 0, 0, 0),
