@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable (YAML-parsed value)")
     p.add_argument("--resume", default="", help="Diffusion checkpoint "
                    "(orbax dir, or reference .pth.tar via torch_compat)")
     p.add_argument("--hfrm-ckpt", default="")
@@ -66,7 +69,7 @@ def main():
 
     initialize_multihost()  # reference eval also NCCL-inits
     # (eval_diffusion.py:83); no-op single-process
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, args.overrides)
     if args.grid_r is not None:
         cfg.sampling.grid_r = args.grid_r
     if args.sampling_timesteps is not None:

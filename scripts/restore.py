@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable (YAML-parsed value)")
     p.add_argument("--resume", required=True)
     p.add_argument("--hfrm-ckpt", default="")
     p.add_argument("--input", required=True,
@@ -74,7 +77,7 @@ def main():
     from wavedm_tpu.utils.checkpoint import load_checkpoint
     from wavedm_tpu.utils.images import save_image
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, args.overrides)
     for name, val in (("t_start", args.t_start),
                       ("sampling_timesteps", args.sampling_timesteps),
                       ("init_ll", args.init_ll),

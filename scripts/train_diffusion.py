@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True, help="Path to YAML config")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable (YAML-parsed value)")
     p.add_argument("--resume", default="", help="Checkpoint to resume from")
     p.add_argument("--ckpt-dir", default="", help="Checkpoint output dir "
                    "(default <data_dir>/ckpts)")
@@ -61,7 +64,7 @@ def main():
     # unconditional dist.init_process_group, train_diffusion.py:62-66,80);
     # no-op for the common single-process case
     initialize_multihost()
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, args.overrides)
     if args.seed is not None:
         cfg.training.seed = args.seed
 

@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable (YAML-parsed value)")
     p.add_argument("--resume", default="")
     p.add_argument("--ckpt-dir", default="saved_models/raindrop")
     p.add_argument("--max-steps", type=int, default=0)
@@ -33,7 +36,7 @@ def main():
 
     initialize_multihost()  # no-op single-process (reference train_hfrm is
     # single-process DataParallel; multi-host here shards the folder dataset)
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, args.overrides)
     trainer = HFRMTrainer(cfg)
     if args.resume:
         trainer.resume(args.resume)

@@ -58,3 +58,17 @@ def test_config_roundtrip_dict():
     cfg2 = config_from_dict(
         {k: v for k, v in d.items()})
     assert cfg2 == cfg
+
+
+def test_cli_overrides():
+    cfg = load_config(RAINDROP_WAVELET,
+                      ["parallel.compute_dtype=bfloat16",
+                       "training.batch_size=2"])
+    assert cfg.parallel.compute_dtype == "bfloat16"
+    assert cfg.training.batch_size == 2
+    with pytest.raises(ConfigError, match="unknown config section"):
+        load_config(RAINDROP_WAVELET, ["nope.key=1"])
+    with pytest.raises(ConfigError, match="must look like"):
+        load_config(RAINDROP_WAVELET, ["badformat"])
+    with pytest.raises(ConfigError, match="unknown key"):
+        load_config(RAINDROP_WAVELET, ["training.not_a_key=3"])

@@ -359,12 +359,36 @@ def config_from_dict(raw: dict) -> Config:
     return Config(**sections).validate()
 
 
-def load_config(path: str) -> Config:
-    """Load and validate a YAML config file."""
+def apply_overrides(raw: dict, overrides) -> dict:
+    """Apply ``section.key=value`` strings (values YAML-parsed) to a raw
+    config mapping.  Unknown sections/keys still fail in config_from_dict,
+    so an override cannot silently miss."""
+    for ov in overrides:
+        key, eq, sval = ov.partition("=")
+        parts = key.strip().split(".")
+        if not eq or len(parts) != 2 or not sval.strip():
+            raise ConfigError(
+                f"override '{ov}' must look like section.key=value")
+        sec, k = parts
+        if not isinstance(raw.get(sec, {}), dict):
+            raise ConfigError(f"override '{ov}': section '{sec}' is not a "
+                              "mapping")
+        raw.setdefault(sec, {})[k] = yaml.safe_load(sval)
+    return raw
+
+
+def load_config(path: str, overrides=()) -> Config:
+    """Load and validate a YAML config file.
+
+    ``overrides`` are ``section.key=value`` strings (CLI ``--set``) applied
+    on top of the file before validation.
+    """
     with open(path, "r") as f:
         raw = yaml.safe_load(f)
     if not isinstance(raw, dict):
         raise ConfigError(f"config file {path} did not parse to a mapping")
+    if overrides:
+        raw = apply_overrides(raw, overrides)
     return config_from_dict(raw)
 
 

@@ -106,16 +106,22 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, out_ref, pad_ref,
         pad_ref[1 + i * rc:1 + (i + 1) * rc, 1:w_dim + 1, :] = (
             y.astype(compute_dtype).reshape(rc, w_dim, cin))
 
-    acc = jnp.zeros((h * w_dim, co_chunk), jnp.float32)
-    k = 0
-    for dy in range(3):
-        for dx in range(3):
-            win = pad_ref[dy:dy + h, dx:dx + w_dim, :]
-            acc = acc + jnp.dot(win.reshape(h * w_dim, cin), w_ref[k],
-                                preferred_element_type=jnp.float32)
-            k += 1
-    out = (acc + b_ref[:]).reshape(h, w_dim, co_chunk)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # Conv accumulation, also row-chunked: per chunk the live set is one
+    # (rc*W, Cin) shifted-window copy + an (rc*W, co) f32 accumulator
+    # instead of their full-block versions -- this is what lets the largest
+    # 64x64x384 up-concat site fit VMEM at all.
+    for i in range(row_chunks):
+        acc = jnp.zeros((rc * w_dim, co_chunk), jnp.float32)
+        k = 0
+        for dy in range(3):
+            for dx in range(3):
+                win = pad_ref[dy + i * rc:dy + i * rc + rc,
+                              dx:dx + w_dim, :]
+                acc = acc + jnp.dot(win.reshape(rc * w_dim, cin), w_ref[k],
+                                    preferred_element_type=jnp.float32)
+                k += 1
+        out = (acc + b_ref[:]).reshape(rc, w_dim, co_chunk)
+        out_ref[0, i * rc:(i + 1) * rc] = out.astype(out_ref.dtype)
 
 
 def _co_chunk(cin: int, cout: int, compute_dtype=jnp.bfloat16) -> int:
@@ -160,8 +166,9 @@ def _vmem_estimate(h, w_dim, cin, co, x_itemsize, cdt_size, rc) -> int:
     return (h * w_dim * cin * x_itemsize            # x block
             + (h + 2) * (w_dim + 2) * cin * cdt_size  # pad scratch
             + 9 * cin * co * cdt_size               # weight block
-            + h * w_dim * co * (x_itemsize + 4)     # out block + f32 acc
-            + h * w_dim * cin * cdt_size            # one shifted-window copy
+            + h * w_dim * co * x_itemsize           # out block
+            + (h // rc) * w_dim * co * 4            # chunked f32 acc
+            + (h // rc) * w_dim * cin * cdt_size    # chunked window copy
             + 3 * (h // rc) * w_dim * cin * 4)      # chunked f32 pass temps
 
 
@@ -174,9 +181,14 @@ def _forward(x, scale, bias, w, b, compute_dtype):
                                compute_dtype=compute_dtype)
     co = _co_chunk(cin, cout, compute_dtype)
     rc = _row_chunks(h, w_dim, cin)
-    if _vmem_estimate(h, w_dim, cin, co, jnp.dtype(x.dtype).itemsize,
-                      jnp.dtype(compute_dtype).itemsize, rc) > 14_000_000:
-        # would not fit the ~16 MB/core VMEM -> XLA composition
+    xsz = jnp.dtype(x.dtype).itemsize
+    csz = jnp.dtype(compute_dtype).itemsize
+    # escalate chunking until the estimate fits the ~16 MB/core VMEM
+    while (_vmem_estimate(h, w_dim, cin, co, xsz, csz, rc) > 14_000_000
+           and h % (rc * 2) == 0):
+        rc *= 2
+    if _vmem_estimate(h, w_dim, cin, co, xsz, csz, rc) > 14_000_000:
+        # cannot fit even fully chunked -> XLA composition
         return _reference_impl(x, scale, bias, w, b,
                                compute_dtype=compute_dtype)
     wk = w.reshape(9, cin, cout).astype(compute_dtype)
