@@ -77,6 +77,14 @@ run_f32_train() {
     --hfrm-ckpt saved_models/r3_hfrm/best \
     > results/r4_train_f32_trial.log 2>&1
 }
+run_bf16_b4_train() {
+  timeout 3600 python -u scripts/train_diffusion.py \
+    --config wavedm_tpu/configs/rehearsal_flagship.yaml \
+    --max-steps 200 --ckpt-dir /tmp/r4_dtype_trial_bf16_b4 \
+    --hfrm-ckpt saved_models/r3_hfrm/best \
+    --set parallel.compute_dtype=bfloat16 --set training.batch_size=4 \
+    > results/r4_train_bf16_b4_trial.log 2>&1
+}
 
 # Order: sweep first (the single highest-leverage artifact -- flagship
 # quality verdict), then clean bench, then the rest.
@@ -88,5 +96,6 @@ stage roofline       run_roofline
 stage roofline_fused run_roofline_fused
 stage bf16_train     run_bf16_train
 stage f32_train      run_f32_train
+stage bf16_b4_train  run_bf16_b4_train
 
 echo "r4 evidence complete ($(date -u))"
