@@ -62,6 +62,11 @@ def _flops_of(jitted, *args) -> float:
 
 
 def main():
+    # single-flight: wait a bounded time for the chip, then proceed with a
+    # recorded warning (the round driver must never deadlock on this)
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    lock_ok = acquire_tpu_lock("bench", timeout=900)
+
     import jax
     import jax.numpy as jnp
 
@@ -192,6 +197,8 @@ def main():
         return (time.time() - t0) / 8 * 1000
 
     contention = None
+    if not lock_ok:
+        contention = "tpu lock held by another process at bench start"
     can_ms = canary_ms()
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
@@ -199,9 +206,10 @@ def main():
         ref_can = _c.get("canary_ms")
         if (_c.get("backend") == jax.default_backend() and ref_can
                 and can_ms > 1.3 * ref_can):
-            contention = (f"canary matmul {can_ms:.2f} ms vs cached "
-                          f"{ref_can:.2f} ms -- device likely contended; "
-                          "numbers in this artifact are suspect")
+            note = (f"canary matmul {can_ms:.2f} ms vs cached "
+                    f"{ref_can:.2f} ms -- device likely contended; "
+                    "numbers in this artifact are suspect")
+            contention = f"{contention}; {note}" if contention else note
             print(f"WARNING: {contention}")
         elif _c.get("backend") == jax.default_backend() and not ref_can:
             # backfill the canary reference from this (presumed-clean) run
@@ -222,9 +230,12 @@ def main():
             r = build(dtype, **kw)
             d, rb, o = measure(r, batch)
         except Exception as e:  # keep the bench robust to Mosaic regressions
+            # cap exported errors hard: round 4's BENCH JSON ballooned past
+            # the driver's tail capture on two ~500-char embedded tracebacks
+            # and the whole artifact became unparseable (VERDICT r4 item 2)
             configs[key] = {"s_per_image": float("inf"), "psnr": -1.0,
                             "steps": steps, "protocol": protocol,
-                            "error": str(e)[:500]}
+                            "error": str(e)[:80]}
             return None, None, None
         # gate PSNR: element 0 = the SAME image for every config (batch
         # configs restore 8 distinct images; their per-own-GT mean is
@@ -380,6 +391,58 @@ def main():
     mode = ("truncated-refinement DDIM (production profile)"
             if configs[best_key]["protocol"] == "production"
             else "DDIM (reference protocol)")
+    full_detail = {
+        "headline_config": best_key,
+        "headline_vs_reference_style": round(ips * ref_dt, 2),
+        # both protocols, first-class (VERDICT r3 weak #5): the
+        # reference-protocol number is the round-over-round comparable
+        "reference_protocol": best_ref,
+        "production": best_prod,
+        "trained_weights": trained,
+        "eval_severity": severity,
+        "contention_warning": contention,
+        "canary_ms": round(can_ms, 2),
+        "timing_basis": "device-complete (scalar sync per call); full "
+                        "host readback timed separately below (the dev "
+                        "tunnel makes readback ~100x a PCIe host's)",
+        "readback_ms_per_image": {
+            "f32": round(rb_f32 * 1000, 1),
+            "bf16": round(rb_bf16 * 1000, 1)},
+        "configs": {
+            k: {"ms_per_image": (round(v["s_per_image"] * 1000, 1)
+                                 if np.isfinite(v["s_per_image"])
+                                 else None),
+                "psnr_db": round(v["psnr"], 3),
+                "steps": v["steps"], "protocol": v["protocol"],
+                **({"psnr_mean_8distinct_db":
+                    round(v["psnr_mean_distinct"], 3)}
+                   if "psnr_mean_distinct" in v else {}),
+                **({"error": v["error"]} if "error" in v else {})}
+            for k, v in configs.items()},
+        "psnr_hfrm_alone_db": round(psnr_hfrm, 3),
+        "psnr_hfrm_alone_mean_8distinct_db": round(psnr_hfrm_mean8, 3),
+        "flops_per_image": flops_per_image,
+        "achieved_flops_per_s": achieved,
+        "device_kind": kind,
+        "peak_bf16_flops_per_s": peak,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        "n_patches": K,
+        "reference_style_ms_per_image": round(ref_dt * 1000, 1),
+        "baseline": "same math, reference execution strategy (host-loop "
+                    "DDIM, 8-patch micro-batches, per-step host sync) on "
+                    "the same chip; NOTE on tunneled-TPU setups the "
+                    "baseline additionally pays a network round-trip per "
+                    "dispatch, which inflates the ratio beyond the pure "
+                    "fusion win",
+        "backend": jax.default_backend(),
+    }
+    # full detail goes to a file; stdout carries ONE compact line so the
+    # driver's tail capture always yields parseable JSON (VERDICT r4 item 2)
+    os.makedirs(os.path.join(repo, "results"), exist_ok=True)
+    full_path = os.path.join(repo, "results", "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full_detail, f, indent=1)
+    errored = sorted(k for k, v in configs.items() if "error" in v)
     result = {
         "metric": (f"RainDrop 720x480 restoration, {n_steps}-step {mode}, "
                    "flagship WaveDM"),
@@ -392,51 +455,24 @@ def main():
         "vs_baseline": round(ref_dt / dt_f32_b1, 2),
         "detail": {
             "headline_config": best_key,
-            "headline_vs_reference_style": round(ips * ref_dt, 2),
-            # both protocols, first-class (VERDICT r3 weak #5): the
-            # reference-protocol number is the round-over-round comparable
             "reference_protocol": best_ref,
             "production": best_prod,
-            "trained_weights": trained,
-            "eval_severity": severity,
+            "psnr_hfrm_alone_db": round(psnr_hfrm, 3),
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
             "contention_warning": contention,
             "canary_ms": round(can_ms, 2),
-            "timing_basis": "device-complete (scalar sync per call); full "
-                            "host readback timed separately below (the dev "
-                            "tunnel makes readback ~100x a PCIe host's)",
-            "readback_ms_per_image": {
-                "f32": round(rb_f32 * 1000, 1),
-                "bf16": round(rb_bf16 * 1000, 1)},
-            "configs": {
-                k: {"ms_per_image": (round(v["s_per_image"] * 1000, 1)
-                                     if np.isfinite(v["s_per_image"])
-                                     else None),
-                    "psnr_db": round(v["psnr"], 3),
-                    "steps": v["steps"], "protocol": v["protocol"],
-                    **({"psnr_mean_8distinct_db":
-                        round(v["psnr_mean_distinct"], 3)}
-                       if "psnr_mean_distinct" in v else {}),
-                    **({"error": v["error"]} if "error" in v else {})}
-                for k, v in configs.items()},
-            "psnr_hfrm_alone_db": round(psnr_hfrm, 3),
-            "psnr_hfrm_alone_mean_8distinct_db": round(psnr_hfrm_mean8, 3),
-            "flops_per_image": flops_per_image,
-            "achieved_flops_per_s": achieved,
+            "trained_weights": trained,
+            "errored_configs": errored or None,
             "device_kind": kind,
-            "peak_bf16_flops_per_s": peak,
-            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
-            "n_patches": K,
-            "reference_style_ms_per_image": round(ref_dt * 1000, 1),
-            "baseline": "same math, reference execution strategy (host-loop "
-                        "DDIM, 8-patch micro-batches, per-step host sync) on "
-                        "the same chip; NOTE on tunneled-TPU setups the "
-                        "baseline additionally pays a network round-trip per "
-                        "dispatch, which inflates the ratio beyond the pure "
-                        "fusion win",
-            "backend": jax.default_backend(),
+            "full_detail": "results/bench_full.json",
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1500:  # never let the one-line contract break again
+        result["detail"] = {"truncated": True,
+                            "full_detail": "results/bench_full.json"}
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('eval_diffusion')
     import jax
     import jax.numpy as jnp
     import numpy as np

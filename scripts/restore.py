@@ -64,6 +64,8 @@ def main():
     import numpy as np
     from PIL import Image
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('restore')
     import jax
     # honor JAX_PLATFORMS even where a device plugin ignores the env var
     # (the axon TPU plugin does; same workaround as tests/conftest.py)

@@ -108,6 +108,8 @@ def main():
 
     import itertools
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('train_diffusion')
     import jax
     from wavedm_tpu.data.raindrop import RainDrop
     dataset = RainDrop(cfg, jax.process_index(), jax.process_count())

@@ -60,6 +60,8 @@ def main():
         print("smoke HFRM training done at step", int(trainer.state.step))
         return
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('train_hfrm')
     import jax
     from wavedm_tpu.data.raindrop import RainDropDataset
 

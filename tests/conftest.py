@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# CPU-only tests must never block on the real device's single-flight lock
+# (tests that exercise tpu_lock itself re-enable it with a private path)
+os.environ.setdefault("WAVEDM_TPU_LOCK_DISABLE", "1")
 
 import jax  # noqa: E402  (import before any backend touch)
 

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--no-begin-from-noise", action="store_true")
     args = ap.parse_args()
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('diag_quality')
     import jax
     import jax.numpy as jnp
     import numpy as np

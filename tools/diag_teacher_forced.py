@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--ema", action="store_true")
     args = ap.parse_args()
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('diag_teacher_forced')
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -21,6 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+acquire_tpu_lock("pallas_smoke")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -51,6 +51,8 @@ def main():
                          "(parallel.fused_resblock)")
     args = ap.parse_args()
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('roofline')
     import jax
     import jax.numpy as jnp
 

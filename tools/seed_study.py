@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
+    from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+    acquire_tpu_lock('seed_study')
     import jax
     import jax.numpy as jnp  # noqa: F401
 

@@ -35,6 +35,9 @@ def main():
                          "uses jax.config, which it honors)")
     args = ap.parse_args()
 
+    if not args.cpu:
+        from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
+        acquire_tpu_lock("train_mfu")
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
