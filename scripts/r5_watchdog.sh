@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Watchdog for the r5 eval sweep: if no sweep output has been written for
+# STALL_S seconds while the sweep is alive, assume a dropped relay RPC
+# (axon quirk: blocked-forever device op), kill the sweep tree, and
+# relaunch the row-idempotent resume script.  Exits when the sweep
+# completes ("sweep done" in the log) or the pidfile goes stale with a
+# complete log.
+set -u
+
+REPO=/root/repo
+PIDFILE=/tmp/r5sweep.pid
+LOG="$REPO/results/r5_sweep.log"
+STALL_S=${STALL_S:-2400}
+
+newest_mtime() {
+  local t f m
+  t=$(stat -c %Y "$LOG" 2>/dev/null || echo 0)
+  for f in "$REPO"/results/r5_sweep/*.log; do
+    [ -e "$f" ] || continue
+    m=$(stat -c %Y "$f")
+    [ "$m" -gt "$t" ] && t=$m
+  done
+  echo "$t"
+}
+
+kill_tree() {
+  local pid=$1 kids k
+  kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
+  for k in $kids; do kill_tree "$k"; done
+  kill -9 "$pid" 2>/dev/null
+}
+
+while true; do
+  sleep 120
+  grep -q "sweep done" "$LOG" 2>/dev/null && { echo "watchdog: sweep complete"; exit 0; }
+  pid=$(cat "$PIDFILE" 2>/dev/null || echo "")
+  if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
+    # sweep process gone without the completion line: relaunch resume
+    echo "watchdog: sweep dead without completion ($(date -u)); relaunching"
+    OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
+      >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
+    continue
+  fi
+  now=$(date +%s); last=$(newest_mtime)
+  if [ $((now - last)) -gt "$STALL_S" ]; then
+    echo "watchdog: stall $((now - last))s ($(date -u)); killing $pid + relaunching"
+    kill_tree "$pid"
+    sleep 10
+    OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
+      >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
+  fi
+done
