@@ -152,10 +152,22 @@ class TrainingConfig:
     snapshot_freq: int = 3000
     validation_freq: int = 3000
     seed: int = 61
+    # Diffusion parameterization: "eps" (the reference's only mode,
+    # models/ddm_wavelet.py:108-124) or "v" (velocity; opt-in fix for the
+    # measured high-t conditioning failure -- see diffusion/loss.py).  The
+    # sampler must be built with the SAME pred_type the weights were
+    # trained with.
+    pred_type: str = "eps"
+    # min-SNR-gamma loss weighting (0 = off; typical value 5.0)
+    snr_gamma: float = 0.0
 
     def validate(self) -> None:
         if self.batch_size < 1 or self.patch_n < 1:
             raise ConfigError("batch_size and patch_n must be >= 1")
+        if self.pred_type not in ("eps", "v"):
+            raise ConfigError("training.pred_type must be 'eps' or 'v'")
+        if self.snr_gamma < 0:
+            raise ConfigError("training.snr_gamma must be >= 0")
 
 
 @dataclass

@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 
 class LossOutput(NamedTuple):
-    simple_loss: jax.Array   # scalar: E_b[ sum_pix (e - e_pred)^2 ]
+    simple_loss: jax.Array   # scalar: E_b[ w_t * sum_pix (target - output)^2 ]
     mse_loss: jax.Array      # scalar: E_b[ sum_pix (x_tar - x0_pred)^2 ]
-    e_pred: jax.Array        # (B, H, W, pred_c)
+    e_pred: jax.Array        # (B, H, W, pred_c) implied epsilon
     x0_pred: jax.Array       # (B, H, W, pred_c)
 
 
@@ -42,15 +42,28 @@ def noise_estimation_loss(
     inp_channels: int,
     pred_channels: int,
     use_other_channels: bool,
+    pred_type: str = "eps",
+    snr_gamma: float = 0.0,
 ) -> LossOutput:
-    """Epsilon-prediction loss in the (wavelet) diffusion domain.
+    """Noise/velocity-prediction loss in the (wavelet) diffusion domain.
 
     Args:
-      model_fn: (x, t_float) -> eps prediction, channels-last.
+      model_fn: (x, t_float) -> eps or v prediction, channels-last.
       x0: (B, H, W, C) with channels [cond(inp) | target(pred) | other(HF)].
       t: (B,) integer timesteps.
       e: (B, H, W, pred_channels) noise.
       betas: (T,) schedule.
+      pred_type: "eps" (reference parameterization,
+        models/ddm_wavelet.py:108-124) or "v" (Salimans & Ho 2022,
+        v = sqrt(a)*e - sqrt(1-a)*x0).  At high t the eps target degenerates
+        to x_t itself, so an eps model never learns to use the conditioning
+        there (measured: x0 MSE 13.5 at t=960 vs 0.005 at t=200); the v
+        target degenerates to -x0 instead, forcing conditioning use across
+        the whole chain -- the TPU-first fix for the reference protocol's
+        high-t failure.
+      snr_gamma: 0 disables; otherwise min-SNR-gamma loss weighting (Hang et
+        al. 2023): w = min(SNR, gamma)/SNR for eps, min(SNR, gamma)/(SNR+1)
+        for v, applied per-sample to the summed loss.
     """
     a = jnp.cumprod(1.0 - betas)[t][:, None, None, None].astype(x0.dtype)
     x_inp = x0[..., :inp_channels]
@@ -63,7 +76,23 @@ def noise_estimation_loss(
         x = xt
     output = model_fn(jnp.concatenate([x_inp, x], axis=-1), t.astype(jnp.float32))
 
-    x0_pred = (xt - output * jnp.sqrt(1.0 - a)) / jnp.sqrt(a)
-    simple = jnp.sum(jnp.square(e - output), axis=(1, 2, 3)).mean()
+    if pred_type == "v":
+        target = jnp.sqrt(a) * e - jnp.sqrt(1.0 - a) * x_tar
+        e_pred = jnp.sqrt(1.0 - a) * xt + jnp.sqrt(a) * output
+        x0_pred = jnp.sqrt(a) * xt - jnp.sqrt(1.0 - a) * output
+    elif pred_type == "eps":
+        target = e
+        e_pred = output
+        x0_pred = (xt - output * jnp.sqrt(1.0 - a)) / jnp.sqrt(a)
+    else:
+        raise ValueError(f"pred_type must be eps or v, got {pred_type!r}")
+
+    per_image = jnp.sum(jnp.square(target - output), axis=(1, 2, 3))
+    if snr_gamma > 0.0:
+        snr = (a / (1.0 - a))[:, 0, 0, 0]
+        w = jnp.minimum(snr, snr_gamma) / (
+            snr + 1.0 if pred_type == "v" else snr)
+        per_image = per_image * w
+    simple = per_image.mean()
     mse = jnp.sum(jnp.square(x_tar - x0_pred), axis=(1, 2, 3)).mean()
-    return LossOutput(simple, mse, output, x0_pred)
+    return LossOutput(simple, mse, e_pred, x0_pred)

@@ -91,9 +91,14 @@ def ddim_sample(
     *,
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
+    pred_type: str = "eps",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-image DDIM (reference ``generalized_steps``,
     utils/sampling.py:23-44) as one lax.scan.
+
+    ``pred_type="v"`` consumes a velocity-parameterized model (see
+    diffusion/loss.py): the output is converted to the implied epsilon
+    (e = sqrt(1-a)*x_t + sqrt(a)*v) and the chain is otherwise identical.
 
     Returns (x_final, x0_preds) with x0_preds stacked over steps in
     chronological order (index -1 = last step's x0 estimate).
@@ -108,6 +113,8 @@ def ddim_sample(
         t, a, a_nx, cc1, cc2 = per_step
         et = model_fn(jnp.concatenate([x_cond, xt], axis=-1),
                       jnp.full((n,), t))
+        if pred_type == "v":
+            et = jnp.sqrt(1 - a) * xt + jnp.sqrt(a) * et
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, xt.shape, xt.dtype) if eta > 0 else 0.0
@@ -136,6 +143,7 @@ def make_overlapping_sampler(
     jit_mode: str = "scan",
     mesh=None,
     x0_keep: Optional[int] = None,
+    pred_type: str = "eps",
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
 
@@ -243,6 +251,13 @@ def make_overlapping_sampler(
         et_b = et_p.reshape(b, K, p, p, pred_channels)
         acc = acc.at[:, rows_j[:, :, None], cols_j[:, None, :], :].add(et_b)
         et = acc / counts_a
+        if pred_type == "v":
+            # v -> implied epsilon AFTER the overlap average: the conversion
+            # is affine per-pixel in (v, x_t) and the count-normalized
+            # scatter of gathered x_t patches reproduces x_t exactly, so
+            # averaging v then converting equals converting per patch then
+            # averaging.
+            et = jnp.sqrt(1 - a) * xt + jnp.sqrt(a) * et
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
         key, sub = jax.random.split(key)
         if eta > 0:

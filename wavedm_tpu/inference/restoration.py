@@ -133,6 +133,8 @@ class DiffusiveRestoration:
                 # only x0_preds[x0_pred_index] is consumed -> the scan
                 # carries just that estimate (T*B*H*W floats saved)
                 x0_keep=cfg.sampling.x0_pred_index,
+                # the parameterization the weights were TRAINED with
+                pred_type=cfg.training.pred_type,
             )
         if use_global:
             raise ValueError(
@@ -160,7 +162,8 @@ class DiffusiveRestoration:
                 return model_fn(params, inp, tt)
 
             x_final, x0s = ddim_sample(fn, x_p, cond_p, self.seq,
-                                       self.betas, eta=eta, rng=rng)
+                                       self.betas, eta=eta, rng=rng,
+                                       pred_type=cfg.training.pred_type)
             return x_final[:, :h, :w], x0s[:, :, :h, :w]
 
         def sample(x_init, x_cond, x_other=None, rng=None, params=None,

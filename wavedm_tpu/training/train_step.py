@@ -161,6 +161,8 @@ def make_train_step(
             inp_channels=inp_channels,
             pred_channels=m.pred_channels,
             use_other_channels=m.use_other_channels,
+            pred_type=cfg.training.pred_type,
+            snr_gamma=cfg.training.snr_gamma,
         )
         main = out.mse_loss if cfg.training.use_mse else out.simple_loss
         return main, out
