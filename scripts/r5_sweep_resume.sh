@@ -23,8 +23,11 @@ run() {
     return 0
   fi
   echo "=== $name : $*"
+  # full output kept per row (a crash otherwise vanishes in the grep filter
+  # -- that is exactly how the r4/r5 full_chain row died invisibly)
   python -u scripts/eval_diffusion.py --config "$CFG" --resume "$CK" \
       --hfrm-ckpt "$HF" --eval-batch 8 "$@" 2>&1 \
+      | tee "$OUT/$name.full.log" \
       | grep -E "psnr|ssim|images|loaded" | tee "$OUT/$name.log"
 }
 
