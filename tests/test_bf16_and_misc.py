@@ -7,6 +7,8 @@ import pytest
 
 from wavedm_tpu.models.unet import DiffusionUNet
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_unet_setup():

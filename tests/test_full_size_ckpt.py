@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 REFERENCE = "/root/reference"
@@ -36,6 +38,7 @@ import jax.numpy as jnp  # noqa: E402
 from wavedm_tpu.models.hfrm import HFRM  # noqa: E402
 from wavedm_tpu.models.unet import DiffusionUNet  # noqa: E402
 from wavedm_tpu.utils.torch_compat import (  # noqa: E402
+
     convert_hfrm_state_dict,
     convert_unet_state_dict,
     load_torch_checkpoint,

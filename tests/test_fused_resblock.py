@@ -7,6 +7,8 @@ import pytest
 
 import wavedm_tpu.ops.fused_resblock as fr
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 def _mk(n=2, h=8, w=16, cin=128, cout=128, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)

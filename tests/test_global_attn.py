@@ -14,6 +14,8 @@ import pytest
 from wavedm_tpu.config import Config, ConfigError, config_from_dict
 from wavedm_tpu.models.unet_global import AttnGlobal, DiffusionUNetGlobal
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 def tiny_global_cfg(**data_over):
     cfg = Config()

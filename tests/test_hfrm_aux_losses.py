@@ -14,6 +14,9 @@ from wavedm_tpu.config import config_from_dict
 from wavedm_tpu.models.vgg_loss import (VGG19Features, perceptual_loss,
                                         convert_vgg19_features)
 from wavedm_tpu.models.wdnet import RRDB
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
 
 
 def test_rrdb_forward_and_param_layout():

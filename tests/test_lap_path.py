@@ -24,6 +24,8 @@ from wavedm_tpu.training.lap import (
 from wavedm_tpu.training.state import create_train_state
 from wavedm_tpu.training.train_step import data_transform, make_train_step
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 def lap_config(**sampling_overrides) -> Config:
     cfg = Config()

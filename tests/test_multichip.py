@@ -28,6 +28,8 @@ from wavedm_tpu.parallel.mesh import (
 from wavedm_tpu.training.state import create_train_state
 from wavedm_tpu.training.train_step import make_train_step
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 def tiny_config() -> Config:
     cfg = Config()

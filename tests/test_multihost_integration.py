@@ -18,6 +18,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
@@ -44,6 +46,7 @@ train_diffusion.main()
 
 # index striping (replaces DistributedSampler): report this process's split
 from wavedm_tpu.data.raindrop import RainDropDataset
+
 root = os.path.join({repo!r}, "data", "raindrop", "train")
 ds = RainDropDataset(root, 256, 1, process_index=jax.process_index(),
                      process_count=jax.process_count())

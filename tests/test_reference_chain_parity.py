@@ -28,6 +28,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 REFERENCE = "/root/reference"
@@ -49,6 +51,7 @@ from wavedm_tpu.models.hfrm import HFRM  # noqa: E402
 from wavedm_tpu.models.unet import DiffusionUNet  # noqa: E402
 from wavedm_tpu.ops.wavelet import wavelet_dec, wavelet_rec  # noqa: E402
 from wavedm_tpu.utils.torch_compat import (  # noqa: E402
+
     convert_hfrm_state_dict,
     convert_unet_state_dict,
 )

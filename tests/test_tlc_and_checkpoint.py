@@ -10,6 +10,8 @@ import pytest
 
 from wavedm_tpu.ops.tlc import local_avg_pool, tlc_kernel
 
+pytestmark = pytest.mark.slow  # fast tier: -m 'not slow'
+
 
 def test_local_avg_pool_matches_naive(rng):
     x = jnp.asarray(rng.standard_normal((1, 10, 12, 2)).astype(np.float32))

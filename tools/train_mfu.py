@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--step-time", type=float, required=True,
                     help="measured seconds/step on the target chip")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override training.batch_size (images/step; "
+                         "crops/step = batch_size * patch_n)")
     ap.add_argument("--peak", type=float, default=197e12,
                     help="chip peak FLOP/s for the MFU denominator")
     ap.add_argument("--cpu", action="store_true",
@@ -53,6 +56,8 @@ def main():
     cfg = load_config(os.path.join(repo,
                                    "wavedm_tpu/configs/rehearsal_flagship.yaml"))
     cfg.parallel.compute_dtype = args.dtype
+    if args.batch_size is not None:
+        cfg.training.batch_size = args.batch_size
     cfg.validate()
 
     key = jax.random.PRNGKey(0)
