@@ -24,9 +24,17 @@ newest_mtime() {
 }
 
 kill_tree() {
+  # TERM first: a TPU client killed with -9 mid-operation can leave the
+  # relay refusing backend setup for ~25 min per subsequent attempt
+  # (observed round 5) -- give the client a chance to close its session.
   local pid=$1 kids k
   kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
   for k in $kids; do kill_tree "$k"; done
+  kill "$pid" 2>/dev/null
+  for _ in 1 2 3 4; do
+    kill -0 "$pid" 2>/dev/null || return 0
+    sleep 5
+  done
   kill -9 "$pid" 2>/dev/null
 }
 
