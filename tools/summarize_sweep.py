@@ -48,6 +48,8 @@ def main():
     rows = {}
     for path in sorted(glob.glob(os.path.join(args.dir, "*.log"))):
         name = os.path.splitext(os.path.basename(path))[0]
+        if name.endswith(".full"):   # raw row transcript, not the summary
+            continue
         if name == "diag":
             continue
         row = parse_log(path)
