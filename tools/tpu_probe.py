@@ -22,6 +22,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _fail_fast_register(claim_s: int) -> None:
+    """Manual axon registration with a short claim timeout.
+
+    The baked sitecustomize registers with server-default claim timeout,
+    so a wedged terminal session makes every init attempt block ~25 min.
+    Launch the probe with PALLAS_AXON_POOL_IPS unset and
+    WAVEDM_PROBE_CLAIM_S=<seconds> to fail fast instead:
+
+      env -u PALLAS_AXON_POOL_IPS WAVEDM_PROBE_CLAIM_S=120 \
+          python tools/tpu_probe.py
+    """
+    import uuid
+
+    os.environ["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
+    os.environ["AXON_LOOPBACK_RELAY"] = "1"
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    from axon.register import register
+    register(None, f"{gen}:1x1x1", so_path="/opt/axon/libaxon_pjrt.so",
+             session_id=str(uuid.uuid4()), remote_compile=True,
+             claim_timeout_s=claim_s)
+    os.environ["JAX_PLATFORMS"] = "axon"
+
+
 def main():
     t0 = time.time()
     out = {"ok": False, "init_s": None, "matmul_ms": None, "error": ""}
@@ -31,6 +55,9 @@ def main():
             out["error"] = "device lock held (another client active)"
             print(json.dumps(out))
             return 2
+        claim_s = os.environ.get("WAVEDM_PROBE_CLAIM_S")
+        if claim_s and not os.environ.get("PALLAS_AXON_POOL_IPS"):
+            _fail_fast_register(int(claim_s))
         import jax
         import jax.numpy as jnp
         dev = jax.devices()[0]
