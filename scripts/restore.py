@@ -73,10 +73,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from wavedm_tpu.config import load_config
     from wavedm_tpu.data.raindrop import eval_resize_dims
-    from wavedm_tpu.inference.restoration import DiffusiveRestoration
-    from wavedm_tpu.models.hfrm import HFRM
-    from wavedm_tpu.models.unet import DiffusionUNet
-    from wavedm_tpu.utils.checkpoint import load_checkpoint
+    from wavedm_tpu.inference.loader import build_restorer
     from wavedm_tpu.utils.images import save_image
 
     cfg = load_config(args.config, args.overrides)
@@ -94,36 +91,8 @@ def main():
         raise SystemExit(f"no inputs match {args.input!r}")
     os.makedirs(args.out, exist_ok=True)
 
-    key = jax.random.PRNGKey(cfg.training.seed)
-    unet = DiffusionUNet.from_config(cfg)
-    import jax.numpy as jnp
-    uparams = jax.jit(unet.init)(
-        key, jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
-                        cfg.model.unet_in_channels)),
-        jnp.zeros((1,)))["params"]
-    if args.resume.endswith((".pth", ".pth.tar", ".pt")):
-        from wavedm_tpu.utils.torch_compat import (convert_unet_state_dict,
-                                                   load_torch_checkpoint)
-        sd = load_torch_checkpoint(args.resume, ema=args.ema)
-        uparams = convert_unet_state_dict(
-            sd, num_levels=len(cfg.model.ch_mult),
-            num_res_blocks=cfg.model.num_res_blocks)
-    else:
-        state, _ = load_checkpoint(args.resume)
-        uparams = state.ema if args.ema else state.params
-
-    hfrm_apply = hfrm_params = None
-    if cfg.data.wavelet and not cfg.data.wavelet_in_unet:
-        from scripts.train_diffusion import load_hfrm_params
-        hfrm = HFRM.from_config(cfg)
-        hfrm_params = load_hfrm_params(args.hfrm_ckpt or cfg.hfrm.ckpt_path,
-                                       cfg)
-        if hfrm_params is None:
-            raise SystemExit("wavelet path needs --hfrm-ckpt")
-        hfrm_apply = hfrm.apply
-
-    restorer = DiffusiveRestoration(cfg, unet.apply, uparams,
-                                    hfrm_apply, hfrm_params)
+    restorer = build_restorer(cfg, args.resume, args.hfrm_ckpt,
+                              ema=args.ema)
 
     def load(path):
         img = Image.open(path)
