@@ -29,6 +29,7 @@ configuration's timed loop.
 
 import copy
 import json
+import sys
 import os
 import time
 
@@ -475,5 +476,28 @@ def main():
     print(line)
 
 
+def _fail_line(exc: BaseException) -> None:
+    """Even a dead accelerator must yield ONE parseable JSON line (the
+    round driver records stdout verbatim; a traceback-only exit made
+    BENCH_r04 unparseable).  Known failure mode covered here: the relay
+    'wedge' -- backend init blocks ~25 min then raises UNAVAILABLE when a
+    previous client was killed mid-operation (PERF.md round-5 notes)."""
+    print(json.dumps({
+        "metric": "RainDrop 720x480 restoration, 25-step DDIM, "
+                  "flagship WaveDM",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": f"{type(exc).__name__}: {exc}"[:300],
+        "relay_down": "UNAVAILABLE" in str(exc) or "backend" in str(exc),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 -- see _fail_line
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        _fail_line(e)
+        sys.exit(1)
