@@ -129,3 +129,20 @@ def test_http_restore_and_health(tiny_server):
         assert e.code == 500
     post()
     assert results[-1][0] == 200
+
+
+def test_prune_checkpoints(tmp_path):
+    import os
+    import time as _time
+    from wavedm_tpu.utils.checkpoint import prune_checkpoints
+    for i, name in enumerate(["e1", "e2", "best", "e3", "e4"]):
+        d = tmp_path / name
+        d.mkdir()
+        if name != "best":
+            (d / "wavedm_meta.json").write_text("{}")
+        os.utime(d, (1000 + i, 1000 + i))
+    removed = prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert removed == 2
+    assert left == ["best", "e3", "e4"]   # oldest snapshots gone, best kept
+    assert prune_checkpoints(str(tmp_path), keep=0) == 0   # 0 = keep all

@@ -160,6 +160,9 @@ class TrainingConfig:
     pred_type: str = "eps"
     # min-SNR-gamma loss weighting (0 = off; typical value 5.0)
     snr_gamma: float = 0.0
+    # snapshot retention: keep the N most recent snapshot dirs (0 = all).
+    # A flagship Orbax TrainState is ~3.1 GB; long runs need this.
+    keep_snapshots: int = 0
 
     def validate(self) -> None:
         if self.batch_size < 1 or self.patch_n < 1:

@@ -195,6 +195,11 @@ class DiffusionTrainer:
                     self.save(os.path.join(
                         ckpt_dir,
                         f"{cfg.data.dataset}_epoch{epoch + 1}_ddpm"))
+                    if cfg.training.keep_snapshots:
+                        from wavedm_tpu.utils.checkpoint import (
+                            prune_checkpoints)
+                        prune_checkpoints(ckpt_dir,
+                                          cfg.training.keep_snapshots)
                 if step >= stop_at:
                     return history
                 data_start = time.time()

@@ -76,6 +76,33 @@ def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return max(candidates, key=os.path.getmtime)
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> int:
+    """Delete the oldest snapshot dirs under ``ckpt_dir``, keeping the
+    ``keep`` most recent (plus anything named ``best``).  Returns the
+    number removed.  No-op for keep <= 0 (keep everything).
+
+    Operational need the reference never hits (it writes one ~600 MB
+    .pth.tar per snapshot to a big disk; utils/logging.py:17-31): a
+    flagship Orbax TrainState is ~3.1 GB, and an unpruned long run fills
+    the host disk (round-3 incident).
+    """
+    if keep <= 0 or jax.process_index() != 0:
+        return 0
+    import shutil
+    if not os.path.isdir(ckpt_dir):
+        return 0
+    snaps = sorted(
+        (os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)
+         if d != "best" and os.path.isdir(os.path.join(ckpt_dir, d))
+         and os.path.exists(os.path.join(ckpt_dir, d, _META_FILE))),
+        key=os.path.getmtime)
+    removed = 0
+    for path in snaps[:-keep] if keep < len(snaps) else []:
+        shutil.rmtree(path, ignore_errors=True)
+        removed += 1
+    return removed
+
+
 def _saved_top_level_keys(path: str):
     """Top-level pytree keys stored in a checkpoint, or None if they cannot
     be determined (older orbax layouts) -- used to probe for optional
