@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--grid-r", type=int, default=None)
     p.add_argument("--warmup", action="store_true",
                    help="compile the canonical 720x480 geometry at startup")
+    p.add_argument("--patch-shard", action="store_true",
+                   help="shard the tiled sampler's patch batch over ALL "
+                        "local devices (patch-parallel serving)")
     return p.parse_args()
 
 
@@ -66,7 +69,16 @@ def main():
             setattr(cfg.sampling, name, val)
     cfg.validate()
 
-    restorer = build_restorer(cfg, args.resume, args.hfrm_ckpt, ema=args.ema)
+    mesh = None
+    if args.patch_shard:
+        import numpy as np
+        from jax.sharding import Mesh
+        from wavedm_tpu.parallel.mesh import DATA_AXIS
+        mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+        print(f"patch-parallel serving over {mesh.size} devices")
+
+    restorer = build_restorer(cfg, args.resume, args.hfrm_ckpt,
+                              ema=args.ema, mesh=mesh)
     server = RestorationServer(restorer, batch=args.batch,
                                window_ms=args.window_ms,
                                no_resize=args.no_resize,

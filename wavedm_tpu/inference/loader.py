@@ -50,11 +50,12 @@ def load_unet_params(path: str, cfg: Config, ema: bool = False):
 
 
 def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
-                   ema: bool = False):
+                   ema: bool = False, mesh=None):
     """Assemble the full restoration runner for a validated config.
 
     ``resume`` empty -> random-init UNet (smoke/testing).  Raises with a
     named error when the wavelet path lacks a stage-1 checkpoint.
+    ``mesh``: optional 1-D data mesh for patch-parallel tiled inference.
     """
     import jax
     import jax.numpy as jnp
@@ -83,4 +84,4 @@ def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
         hfrm_apply = HFRM.from_config(cfg).apply
 
     return DiffusiveRestoration(cfg, unet.apply, uparams,
-                                hfrm_apply, hfrm_params)
+                                hfrm_apply, hfrm_params, mesh=mesh)

@@ -44,12 +44,18 @@ class DiffusiveRestoration:
     """
 
     def __init__(self, cfg: Config, unet_apply: Callable, unet_params,
-                 hfrm_apply: Optional[Callable] = None, hfrm_params=None):
+                 hfrm_apply: Optional[Callable] = None, hfrm_params=None,
+                 mesh=None):
+        """``mesh``: optional 1-D data mesh -- the tiled sampler's (B*K)
+        patch batch is sharded over its data axis (patch-parallel
+        inference/serving across chips; no reference analog, eval is
+        single-GPU there -- eval_diffusion.py world_size=1)."""
         self.cfg = cfg
         self.unet_apply = unet_apply
         self.unet_params = unet_params
         self.hfrm_apply = hfrm_apply
         self.hfrm_params = hfrm_params
+        self.mesh = mesh
         self.betas = jnp.asarray(get_beta_schedule(
             cfg.diffusion.beta_schedule,
             beta_start=cfg.diffusion.beta_start,
@@ -130,6 +136,7 @@ class DiffusiveRestoration:
                 use_global=use_global,
                 patch_micro_batch=cfg.sampling.patch_micro_batch,
                 jit_mode=cfg.sampling.jit_mode,
+                mesh=self.mesh,
                 # only x0_preds[x0_pred_index] is consumed -> the scan
                 # carries just that estimate (T*B*H*W floats saved)
                 x0_keep=cfg.sampling.x0_pred_index,
