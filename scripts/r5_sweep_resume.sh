@@ -31,18 +31,23 @@ run() {
       | grep -E "psnr|ssim|images|loaded" | tee "$OUT/$name.log"
 }
 
+# Decisive rows first (the judge's verdict table: reference protocol vs
+# production profile, raw + EMA), then the per-band diagnostic (degraded /
+# HFRM-alone / oracle bars), then ablations -- a chip window that closes
+# early still lands the verdict.
 run full_chain
-run full_chain_ema --ema
 run t300_s10 --t-start 300 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
+run full_chain_ema --ema
 run t300_s10_ema --ema --t-start 300 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
-run t200_s10 --t-start 200 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
-run t400_s10 --t-start 400 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
-run t300_s5  --t-start 300 --sampling-timesteps 5 --init-ll hfrm --x0-pred-index -1
-run t300_s10_cond --t-start 300 --sampling-timesteps 10 --init-ll cond --x0-pred-index -1
 
-if ! grep -q "per-band" "$OUT/diag.log" 2>/dev/null; then
+if ! grep -q "band" "$OUT/diag.log" 2>/dev/null; then
   python -u tools/diag_quality.py --config "$CFG" --resume "$CK" \
       --hfrm-ckpt "$HF" --split both --n 8 2>&1 | tail -60 \
       | tee "$OUT/diag.log"
 fi
+
+run t200_s10 --t-start 200 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
+run t400_s10 --t-start 400 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
+run t300_s5  --t-start 300 --sampling-timesteps 5 --init-ll hfrm --x0-pred-index -1
+run t300_s10_cond --t-start 300 --sampling-timesteps 10 --init-ll cond --x0-pred-index -1
 echo "sweep done"
