@@ -195,3 +195,57 @@ def test_train_step_runs_with_v_and_snr():
     assert np.isfinite(float(metrics.loss))
     assert np.isfinite(float(metrics.mse_loss))
     assert int(new_state.step) == 1
+
+
+def test_grad_accum_matches_single_pass():
+    """grad_accum=2 must reproduce the accum=1 update (same t/e draws, the
+    loss is a batch mean, so averaged micro-grads equal the full grad)."""
+    import dataclasses
+
+    from wavedm_tpu.models.unet import DiffusionUNet
+    from wavedm_tpu.training.state import create_train_state
+    from wavedm_tpu.training.train_step import make_train_step
+
+    cfg = load_config("wavedm_tpu/configs/rehearsal_wavelet.yaml")
+    cfg = dataclasses.replace(cfg)
+    cfg.model.ch = 32
+    cfg.model.ch_mult = [1, 2]
+    cfg.model.attn_resolutions = [8]
+    cfg.model.use_gt_in_train = True
+    cfg.data.image_size = 16
+    cfg.data.patch_size = 64
+    cfg.training.batch_size = 4   # 4 crops per step (patch_n folded in data)
+    cfg.validate()
+    model = DiffusionUNet.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 16, 16, 96)),
+                        jnp.zeros((1,)))["params"]
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 6))
+
+    outs = {}
+    for accum in (1, 2, 4):
+        cfg_a = dataclasses.replace(cfg)
+        cfg_a.training.grad_accum = accum
+        state = create_train_state(params, cfg_a.optim, key)
+        step = make_train_step(cfg_a, model.apply, donate=False)
+        new_state, m = step(state, batch)
+        outs[accum] = (new_state, m)
+
+    base_state, base_m = outs[1]
+    for accum in (2, 4):
+        s, m = outs[accum]
+        np.testing.assert_allclose(float(m.loss), float(base_m.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m.grad_norm),
+                                   float(base_m.grad_norm), rtol=1e-4)
+        a = jax.tree_util.tree_leaves(s.params)[0]
+        b = jax.tree_util.tree_leaves(base_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_grad_accum_validation():
+    cfg = load_config("wavedm_tpu/configs/rehearsal_wavelet.yaml")
+    cfg.training.grad_accum = 3   # 2*4=8 crops not divisible by 3
+    with pytest.raises(ConfigError):
+        cfg.validate()

@@ -163,6 +163,10 @@ class TrainingConfig:
     # snapshot retention: keep the N most recent snapshot dirs (0 = all).
     # A flagship Orbax TrainState is ~3.1 GB; long runs need this.
     keep_snapshots: int = 0
+    # gradient accumulation: split each step's crop batch into this many
+    # micro-batches inside one compiled step (lax.scan) -- large effective
+    # batches at ~1/A the activation memory. 1 = off.
+    grad_accum: int = 1
 
     def validate(self) -> None:
         if self.batch_size < 1 or self.patch_n < 1:
@@ -171,6 +175,11 @@ class TrainingConfig:
             raise ConfigError("training.pred_type must be 'eps' or 'v'")
         if self.snr_gamma < 0:
             raise ConfigError("training.snr_gamma must be >= 0")
+        if self.grad_accum < 1:
+            raise ConfigError("training.grad_accum must be >= 1")
+        if (self.batch_size * self.patch_n) % self.grad_accum:
+            raise ConfigError(
+                "batch_size*patch_n must be divisible by grad_accum")
 
 
 @dataclass

@@ -167,18 +167,56 @@ def make_train_step(
         main = out.mse_loss if cfg.training.use_mse else out.simple_loss
         return main, out
 
+    accum = max(1, cfg.training.grad_accum)
+    if accum > 1 and (cfg.data.global_attn or cfg.data.lap):
+        raise ValueError("training.grad_accum > 1 is not supported with "
+                         "global_attn or the lap path")
+
     def diffusion_update(state: TrainState, x_for_pred, x_global,
                          loss_trans=0.0):
         """The shared diffusion half of a step: t/e draws, eps-loss grads,
-        optimizer, EMA."""
+        optimizer, EMA.
+
+        ``training.grad_accum`` > 1 splits the crop batch into that many
+        micro-batches inside ONE compiled step (a ``lax.scan`` over grad
+        evaluations -> averaged update): big effective batches at ~1/A the
+        activation HBM.  The reference has no equivalent (its effective
+        batch is fixed by GPU count, train_diffusion.py DDP).
+        """
         rng, key_t, key_e = jax.random.split(state.rng, 3)
         n = x_for_pred.shape[0]
         t = antithetic_timesteps(key_t, n, num_timesteps)
         e = jax.random.normal(
             key_e, x_for_pred.shape[:3] + (m.pred_channels,), jnp.float32)
 
-        (main, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x_for_pred, t, e, x_global)
+        if accum == 1:
+            (main, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x_for_pred, t, e, x_global)
+            simple_loss, mse_loss = out.simple_loss, out.mse_loss
+        else:
+            if n % accum:
+                raise ValueError(
+                    f"batch of {n} crops not divisible by grad_accum={accum}")
+            mb = n // accum
+            xs = x_for_pred.reshape((accum, mb) + x_for_pred.shape[1:])
+            ts = t.reshape(accum, mb)
+            es = e.reshape((accum, mb) + e.shape[1:])
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def body(carry, xte):
+                g_acc, s_acc, m_acc = carry
+                (_, out_i), g_i = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, *xte, None)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_i)
+                return (g_acc, s_acc + out_i.simple_loss,
+                        m_acc + out_i.mse_loss), None
+
+            (grads, s_sum, m_sum), _ = jax.lax.scan(
+                body, (zero, 0.0, 0.0), (xs, ts, es))
+            # micro losses are batch MEANS over equal micro-batches, so the
+            # full-batch mean is their average; same for the gradient
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            simple_loss, mse_loss = s_sum / accum, m_sum / accum
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
@@ -189,9 +227,9 @@ def make_train_step(
             params=params, opt_state=opt_state, ema=ema,
             step=state.step + 1, rng=rng)
         metrics = StepMetrics(
-            loss=out.simple_loss,
-            mse_loss=out.mse_loss,
-            loss_per_pixel=out.simple_loss / num_of_pixel,
+            loss=simple_loss,
+            mse_loss=mse_loss,
+            loss_per_pixel=simple_loss / num_of_pixel,
             grad_norm=jnp.sqrt(sum(jnp.sum(jnp.square(g))
                                    for g in jax.tree_util.tree_leaves(grads))),
             loss_trans=loss_trans,
