@@ -91,6 +91,16 @@ run_bf16_b16_train() {
     --set parallel.compute_dtype=bfloat16 --set training.batch_size=16 \
     > results/r5_train_bf16_b16_trial.log 2>&1
 }
+run_bf16_b16_accum_train() {
+  # same 128-crop effective batch as bf16_b16, at 1/4 the activation HBM
+  timeout 3600 python -u scripts/train_diffusion.py \
+    --config wavedm_tpu/configs/rehearsal_flagship.yaml \
+    --max-steps 200 --ckpt-dir /tmp/r5_dtype_trial_bf16_b16_accum \
+    --hfrm-ckpt saved_models/r3_hfrm/best \
+    --set parallel.compute_dtype=bfloat16 --set training.batch_size=16 \
+    --set training.grad_accum=4 \
+    > results/r5_train_bf16_b16_accum_trial.log 2>&1
+}
 run_seeds()    { timeout 7200 python tools/seed_study.py \
                    --out results/r5_seed_study.json \
                    > results/r5_seed_study.log 2>&1; }
@@ -107,6 +117,7 @@ stage f32_train      run_f32_train
 stage bf16_train     run_bf16_train
 stage bf16_b4_train  run_bf16_b4_train
 stage bf16_b16_train run_bf16_b16_train
+stage bf16_b16_accum run_bf16_b16_accum_train
 stage seed_study     run_seeds
 
 echo "r5 evidence complete ($(date -u))"
