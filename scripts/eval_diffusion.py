@@ -40,6 +40,8 @@ def parse_args():
     p.add_argument("--t-start", type=int, default=None,
                    help="Truncated refinement: run the chain over "
                         "[0, t_start) from noised init_ll (sampling.t_start)")
+    p.add_argument("--solver", default=None, choices=["ddim", "dpmpp2m"],
+                   help="reverse-chain update rule (sampling.solver)")
     p.add_argument("--init-ll", default=None,
                    choices=["hfrm", "cond", "noise"],
                    help="LL source noised to t_start (sampling.init_ll)")
@@ -84,6 +86,8 @@ def main():
         cfg.sampling.t_start = args.t_start
     if args.init_ll is not None:
         cfg.sampling.init_ll = args.init_ll
+    if args.solver is not None:
+        cfg.sampling.solver = args.solver
     cfg.validate()
 
     key = jax.random.PRNGKey(cfg.training.seed)

@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--sampling-timesteps", type=int, default=None)
     p.add_argument("--init-ll", default=None,
                    choices=["hfrm", "cond", "noise"])
+    p.add_argument("--solver", default=None, choices=["ddim", "dpmpp2m"],
+                   help="reverse-chain update rule (sampling.solver)")
     p.add_argument("--x0-pred-index", type=int, default=None)
     p.add_argument("--grid-r", type=int, default=None)
     p.add_argument("--no-resize", action="store_true",
@@ -81,7 +83,8 @@ def main():
                       ("sampling_timesteps", args.sampling_timesteps),
                       ("init_ll", args.init_ll),
                       ("x0_pred_index", args.x0_pred_index),
-                      ("grid_r", args.grid_r)):
+                      ("grid_r", args.grid_r),
+                      ("solver", args.solver)):
         if val is not None:
             setattr(cfg.sampling, name, val)
     cfg.validate()

@@ -1,0 +1,163 @@
+"""DPM-Solver++(2M) (sampling.solver: dpmpp2m).
+
+Anchors:
+  * independent numpy recomputation of the multistep update matches the
+    scanned whole-image and tiled samplers;
+  * CONVERGENCE: against a near-exact solution of the same probability-flow
+    ODE (DDIM at 400 steps), dpmpp2m at 8 steps lands closer than DDIM at
+    8 steps -- the second-order claim, measured;
+  * tiled == whole-image for a per-pixel-affine model (overlap averaging
+    is exact for affine maps);
+  * config validation (eta > 0 rejected).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavedm_tpu.config import ConfigError, load_config
+from wavedm_tpu.diffusion.sampling import (
+    ddim_sample,
+    make_overlapping_sampler,
+)
+from wavedm_tpu.diffusion.schedules import (alpha_bars, ddim_timesteps,
+                                            get_beta_schedule)
+
+BETAS = jnp.asarray(get_beta_schedule(
+    "linear", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
+), dtype=jnp.float32)
+
+
+def _linear_model(x, t):
+    return (0.1 * x[..., :2] + 0.01 * x[..., 2:4]
+            + 0.001 * t[:, None, None, None])
+
+
+def _manual_dpmpp2m(model, x, cond, seq, betas):
+    """Straight-loop numpy recomputation (Lu et al. 2022, data-prediction
+    2M with lower-order first/final steps)."""
+    abar = np.asarray(alpha_bars(jnp.asarray(betas)), np.float64)
+    seq = list(seq)
+    t_cur = seq[::-1]
+    t_next = ([-1] + seq[:-1])[::-1]
+    xt = np.asarray(x, np.float64)
+    d_prev, h_prev = None, None
+    x0s = []
+    for i, (ti, tj) in enumerate(zip(t_cur, t_next)):
+        a_c, a_n = abar[ti + 1], abar[tj + 1]
+        al_c, sg_c = np.sqrt(a_c), np.sqrt(1 - a_c)
+        al_n, sg_n = np.sqrt(a_n), np.sqrt(1 - a_n)
+        et = np.asarray(model(
+            jnp.asarray(np.concatenate([cond, xt], -1), jnp.float32),
+            jnp.full((x.shape[0],), float(ti))), np.float64)
+        d = (xt - et * sg_c) / al_c
+        x0s.append(d)
+        lam_c = np.log(al_c / sg_c)
+        lam_n = np.log(al_n / sg_n) if sg_n > 0 else np.inf
+        h = lam_n - lam_c
+        last = i == len(t_cur) - 1
+        if d_prev is not None and not last:
+            c2 = h / (2 * h_prev)   # 1/(2 r_i), r_i = h_{i-1}/h_i
+            d_tilde = (1 + c2) * d - c2 * d_prev
+        else:
+            d_tilde = d
+        ratio = sg_n / sg_c
+        xt = ratio * xt - al_n * np.expm1(-h) * d_tilde
+        d_prev, h_prev = d, h
+    return xt, np.stack(x0s)
+
+
+def test_whole_image_matches_manual_loop():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 2)).astype(np.float32)
+    cond = rng.standard_normal((2, 8, 8, 2)).astype(np.float32)
+    seq = ddim_timesteps(1000, 8)
+    xf, x0s = ddim_sample(_linear_model, jnp.asarray(x), jnp.asarray(cond),
+                          seq, BETAS, solver="dpmpp2m")
+    ref_xf, ref_x0s = _manual_dpmpp2m(_linear_model, x, cond, seq, BETAS)
+    np.testing.assert_allclose(np.asarray(xf), ref_xf, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0s), ref_x0s, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_second_order_beats_ddim_at_few_steps():
+    """A realistic (bounded-x0) model: eps is EXACT for a smooth
+    state-dependent data prediction x0(x) = X0 + 0.3*tanh(x), so the
+    implied x0 stays O(1) like a trained restorer's, the flow is smooth,
+    and the only error is the solver's discretization.  DDIM is
+    first-order there; dpmpp2m must land much closer to the fine-grid
+    solution of the SAME ODE."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    target = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 2)).astype(np.float32)) * 0.5
+    abar = alpha_bars(BETAS)
+
+    def model(xx, tt):
+        a = abar[tt.astype(jnp.int32) + 1][:, None, None, None]
+        x0 = target + 0.3 * jnp.tanh(xx[..., 2:4])
+        return (xx[..., 2:4] - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+
+    exact, _ = ddim_sample(model, x, cond, ddim_timesteps(1000, 800), BETAS)
+    seq12 = ddim_timesteps(1000, 12)
+    dd12, _ = ddim_sample(model, x, cond, seq12, BETAS)
+    dp12, _ = ddim_sample(model, x, cond, seq12, BETAS, solver="dpmpp2m")
+    err_dd = float(jnp.max(jnp.abs(dd12 - exact)))
+    err_dp = float(jnp.max(jnp.abs(dp12 - exact)))
+    # measured: 0.021 vs 0.065 (3x); also dpmpp@12 ~= ddim@50
+    assert err_dp < err_dd / 2, (err_dp, err_dd)
+
+
+def test_tiled_matches_whole_image_for_affine_model():
+    rng = np.random.default_rng(2)
+    h, w, p, r = 16, 24, 8, 4
+    x = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    seq = ddim_timesteps(1000, 6)
+    s = make_overlapping_sampler(
+        _linear_model, image_shape=(h, w), patch_size=p, grid_r=r,
+        seq=seq, betas=BETAS, pred_channels=2, solver="dpmpp2m")
+    xf_t, x0_t = s(x, cond)
+    xf_w, x0_w = ddim_sample(_linear_model, x, cond, seq, BETAS,
+                             solver="dpmpp2m")
+    np.testing.assert_allclose(np.asarray(xf_t), np.asarray(xf_w),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0_t), np.asarray(x0_w),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_x0_keep_consistent_and_segmented_mode():
+    rng = np.random.default_rng(3)
+    h, w, p, r = 16, 16, 8, 8
+    x = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    seq = ddim_timesteps(1000, 5)
+    common = dict(image_shape=(h, w), patch_size=p, grid_r=r, seq=seq,
+                  betas=BETAS, pred_channels=2, solver="dpmpp2m")
+    full = make_overlapping_sampler(_linear_model, **common)
+    kept = make_overlapping_sampler(_linear_model, x0_keep=-2, **common)
+    seg = make_overlapping_sampler(_linear_model, jit_mode="step", **common)
+    xf_f, x0_f = full(x, cond)
+    xf_k, x0_k = kept(x, cond)
+    xf_s, x0_s = seg(x, cond)
+    np.testing.assert_allclose(np.asarray(xf_k), np.asarray(xf_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0_k[0]), np.asarray(x0_f[-2]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf_s), np.asarray(xf_f), atol=1e-5)
+
+
+def test_config_validation():
+    cfg = load_config("wavedm_tpu/configs/rehearsal_wavelet.yaml")
+    cfg.sampling.solver = "dpmpp2m"
+    cfg.validate()
+    cfg.sampling.eta = 0.5
+    with pytest.raises(ConfigError):
+        cfg.validate()
+    cfg.sampling.eta = 0.0
+    cfg.sampling.solver = "heun"
+    with pytest.raises(ConfigError):
+        cfg.validate()

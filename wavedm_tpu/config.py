@@ -223,6 +223,11 @@ class SamplingConfig:
     # natural refinement target), "cond" (degraded input's LL), or "noise"
     # (pure noise at a(t_start); degenerate, for ablations).
     init_ll: str = "hfrm"
+    # Reverse-chain update rule: "ddim" (the reference's, utils/sampling.py:
+    # 29-43) or "dpmpp2m" (DPM-Solver++(2M): second-order multistep on the
+    # data prediction; same UNet evaluations per step, lower discretization
+    # error at few steps).  dpmpp2m requires eta == 0.
+    solver: str = "ddim"
 
     def validate(self) -> None:
         if self.sampling_timesteps < 1:
@@ -235,6 +240,10 @@ class SamplingConfig:
             raise ConfigError("t_start must be >= 0 (0 disables truncation)")
         if self.init_ll not in ("hfrm", "cond", "noise"):
             raise ConfigError("init_ll must be 'hfrm', 'cond', or 'noise'")
+        if self.solver not in ("ddim", "dpmpp2m"):
+            raise ConfigError("solver must be 'ddim' or 'dpmpp2m'")
+        if self.solver == "dpmpp2m" and self.eta > 0:
+            raise ConfigError("dpmpp2m is deterministic: eta must be 0")
 
 
 @dataclass

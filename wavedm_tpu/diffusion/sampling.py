@@ -82,6 +82,50 @@ def _ddim_coeffs(betas: jax.Array, seq: np.ndarray, eta: float):
             c2.astype(jnp.float32))
 
 
+def _dpmpp2m_coeffs(betas: jax.Array, seq: np.ndarray):
+    """Per-step constants for DPM-Solver++(2M) (Lu et al. 2022), the
+    data-prediction multistep second-order ODE solver.
+
+    For each reverse step i (state at t_i -> t_{i+1}, descending noise):
+      lam = log(alpha/sigma),  h_i = lam_{i+1} - lam_i
+      x_{i+1} = (sig_{i+1}/sig_i) x_i - alpha_{i+1} * expm1(-h_i) * D~_i
+      D~_i = (1 + c2_i) D_i - c2_i D_{i-1},  c2_i = h_i / (2 h_{i-1})
+    (D~ is the data prediction linearly extrapolated in lambda to the
+    midpoint of the current step -- Lu et al. 2022b, Algorithm 2, where
+    c2 = 1/(2 r_i) with r_i = h_{i-1}/h_i.)
+    First step and the final (sigma -> 0) step run first order (c2 = 0);
+    expm1(-inf) = -1 and sig-ratio 0 make the generic update reduce to
+    x = D~ at the end, so no special casing inside the scan.
+
+    Returns (t_cur, at, sig_ratio, alpha_next, em1, c2) -- at is carried so
+    the model's eps/v output converts to the data prediction D_i exactly as
+    in the DDIM path.
+    """
+    abar = np.asarray(alpha_bars(betas), np.float64)
+    seq = np.asarray(seq)
+    t_cur = seq[::-1].copy()
+    t_next = np.concatenate([[-1], seq[:-1]])[::-1].copy()
+    a_cur = abar[t_cur + 1]
+    a_next = abar[t_next + 1]
+    alpha_c, sigma_c = np.sqrt(a_cur), np.sqrt(1 - a_cur)
+    alpha_n, sigma_n = np.sqrt(a_next), np.sqrt(1 - a_next)
+    with np.errstate(divide="ignore"):
+        lam_c = np.log(alpha_c / sigma_c)
+        lam_n = np.where(sigma_n > 0, np.log(
+            alpha_n / np.where(sigma_n > 0, sigma_n, 1.0)), np.inf)
+    h = lam_n - lam_c
+    sig_ratio = np.where(sigma_c > 0, sigma_n / sigma_c, 0.0)
+    em1 = np.expm1(-h)                     # exactly -1 on the final step
+    c2 = np.zeros_like(h)
+    if len(h) > 1:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c2[1:] = h[1:] / (2.0 * h[:-1])
+    c2[-1] = 0.0                           # lower-order final step
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return (f32(t_cur), f32(a_cur), f32(sig_ratio), f32(alpha_n),
+            f32(em1), f32(c2))
+
+
 def ddim_sample(
     model_fn: Callable[[jax.Array, jax.Array], jax.Array],
     x: jax.Array,
@@ -92,37 +136,56 @@ def ddim_sample(
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
     pred_type: str = "eps",
+    solver: str = "ddim",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Whole-image DDIM (reference ``generalized_steps``,
+    """Whole-image reverse chain (reference ``generalized_steps``,
     utils/sampling.py:23-44) as one lax.scan.
 
     ``pred_type="v"`` consumes a velocity-parameterized model (see
     diffusion/loss.py): the output is converted to the implied epsilon
     (e = sqrt(1-a)*x_t + sqrt(a)*v) and the chain is otherwise identical.
 
+    ``solver``: "ddim" (the reference's update rule) or "dpmpp2m"
+    (DPM-Solver++(2M) -- second-order multistep; same model evaluations
+    per step, materially lower discretization error at few steps, so
+    ~10 steps can match DDIM-25 quality).  dpmpp2m is deterministic
+    (requires eta == 0).
+
     Returns (x_final, x0_preds) with x0_preds stacked over steps in
     chronological order (index -1 = last step's x0 estimate).
     """
     n = x.shape[0]
-    t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
+    if solver not in ("ddim", "dpmpp2m"):
+        raise ValueError(f"solver must be ddim or dpmpp2m, got {solver!r}")
+    if solver == "dpmpp2m" and eta > 0:
+        raise ValueError("dpmpp2m is deterministic; eta must be 0")
+    per_steps = (_ddim_coeffs(betas, seq, eta) if solver == "ddim"
+                 else _dpmpp2m_coeffs(betas, seq))
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def step(carry, per_step):
-        xt, key = carry
-        t, a, a_nx, cc1, cc2 = per_step
+        xt, key, d_prev = carry
+        t, a = per_step[0], per_step[1]
         et = model_fn(jnp.concatenate([x_cond, xt], axis=-1),
                       jnp.full((n,), t))
         if pred_type == "v":
             et = jnp.sqrt(1 - a) * xt + jnp.sqrt(a) * et
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, xt.shape, xt.dtype) if eta > 0 else 0.0
-        xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
-        return (xt_next, key), x0_t
+        if solver == "ddim":
+            _, _, a_nx, cc1, cc2 = per_step
+            key, sub = jax.random.split(key)
+            noise = (jax.random.normal(sub, xt.shape, xt.dtype)
+                     if eta > 0 else 0.0)
+            xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
+        else:
+            _, _, sig_ratio, alpha_n, em1, cc2 = per_step
+            d_tilde = (1 + cc2) * x0_t - cc2 * d_prev
+            xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
+        return (xt_next, key, x0_t), x0_t
 
-    (x_final, _), x0_preds = jax.lax.scan(
-        step, (x, rng), (t_cur, at, at_next, c1, c2))
+    (x_final, _, _), x0_preds = jax.lax.scan(
+        step, (x, rng, jnp.zeros_like(x)), per_steps)
     return x_final, x0_preds
 
 
@@ -144,6 +207,7 @@ def make_overlapping_sampler(
     mesh=None,
     x0_keep: Optional[int] = None,
     pred_type: str = "eps",
+    solver: str = "ddim",
 ):
     """Build the jitted tiled DDIM sampler for a fixed eval geometry.
 
@@ -193,7 +257,12 @@ def make_overlapping_sampler(
     # the HLO (enough to overflow proxied compile services).
     corners_np = jnp.asarray(np.asarray(corners, np.int32))
     counts_np = jnp.asarray(_count_mask(corners, h, w, p))[None, :, :, None]
-    t_cur, at, at_next, c1, c2 = _ddim_coeffs(betas, seq, eta)
+    if solver not in ("ddim", "dpmpp2m"):
+        raise ValueError(f"solver must be ddim or dpmpp2m, got {solver!r}")
+    if solver == "dpmpp2m" and eta > 0:
+        raise ValueError("dpmpp2m is deterministic; eta must be 0")
+    per_steps = (_ddim_coeffs(betas, seq, eta) if solver == "ddim"
+                 else _dpmpp2m_coeffs(betas, seq))
 
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -238,8 +307,8 @@ def make_overlapping_sampler(
 
     def step(params, carry, per_step, cond_p, other_p, x_global,
              corners_a, counts_a):
-        xt, key = carry
-        t, a, a_nx, cc1, cc2 = per_step
+        xt, key, d_prev = carry
+        t, a = per_step[0], per_step[1]
         b = xt.shape[0]
         xt_p = gather_patches(xt, corners_a)
         inp = [cond_p, xt_p] + ([other_p] if use_other else [])
@@ -259,16 +328,22 @@ def make_overlapping_sampler(
             # averaging.
             et = jnp.sqrt(1 - a) * xt + jnp.sqrt(a) * et
         x0_t = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
-        key, sub = jax.random.split(key)
-        if eta > 0:
-            # per-image subkeys: noise independent of batch composition
-            noise = jax.vmap(
-                lambda k: jax.random.normal(k, xt.shape[1:], xt.dtype)
-            )(jax.random.split(sub, b))
-        else:
-            noise = 0.0
-        xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
-        return (xt_next, key), x0_t
+        if solver == "ddim":
+            _, _, a_nx, cc1, cc2 = per_step
+            key, sub = jax.random.split(key)
+            if eta > 0:
+                # per-image subkeys: noise independent of batch composition
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(k, xt.shape[1:], xt.dtype)
+                )(jax.random.split(sub, b))
+            else:
+                noise = 0.0
+            xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
+        else:  # dpmpp2m multistep update on the data prediction
+            _, _, sig_ratio, alpha_n, em1, cc2 = per_step
+            d_tilde = (1 + cc2) * x0_t - cc2 * d_prev
+            xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
+        return (xt_next, key, x0_t), x0_t
 
     def prep_cond(x_cond, x_other, corners_a):
         cond_p = gather_patches(x_cond, corners_a)   # static across steps
@@ -289,11 +364,12 @@ def make_overlapping_sampler(
         def sample_scan(params, x_init, x_cond, x_other, x_global, rng,
                         corners_a, counts_a):
             cond_p, other_p = prep_cond(x_cond, x_other, corners_a)
+            carry0 = (x_init, rng, jnp.zeros_like(x_init))
             if keep_idx is None:
-                (x_final, _), x0_preds = jax.lax.scan(
+                (x_final, _, _), x0_preds = jax.lax.scan(
                     lambda c, per: step(params, c, per, cond_p, other_p,
                                         x_global, corners_a, counts_a),
-                    (x_init, rng), (t_cur, at, at_next, c1, c2))
+                    carry0, per_steps)
                 return x_final, x0_preds
 
             # carry only the kept x0 estimate (no T-step trajectory in HBM)
@@ -301,14 +377,14 @@ def make_overlapping_sampler(
 
             def body(carry, per):
                 inner, kept = carry
-                inner, x0_t = step(params, inner, per[:5], cond_p, other_p,
+                inner, x0_t = step(params, inner, per[:-1], cond_p, other_p,
                                    x_global, corners_a, counts_a)
-                kept = jnp.where(per[5], x0_t, kept)
+                kept = jnp.where(per[-1], x0_t, kept)
                 return (inner, kept), None
 
-            ((x_final, _), kept), _ = jax.lax.scan(
-                body, ((x_init, rng), jnp.zeros_like(x_init)),
-                (t_cur, at, at_next, c1, c2, flags))
+            ((x_final, _, _), kept), _ = jax.lax.scan(
+                body, (carry0, jnp.zeros_like(x_init)),
+                per_steps + (flags,))
             return x_final, kept[None]
 
         def sample(x_init, x_cond, x_other=None, rng=None,
@@ -334,10 +410,10 @@ def make_overlapping_sampler(
         if rng is None:
             rng = jax.random.PRNGKey(0)
         cond_p, other_p = prep_jit(x_cond, x_other, corners_np)
-        carry = (x_init, rng)
+        carry = (x_init, rng, jnp.zeros_like(x_init))
         x0s = []
-        for i in range(len(t_cur)):
-            per_step = (t_cur[i], at[i], at_next[i], c1[i], c2[i])
+        for i in range(n_steps):
+            per_step = tuple(arr[i] for arr in per_steps)
             carry, x0_t = step_jit(params, carry, per_step, cond_p, other_p,
                                    x_global, corners_np, counts_np)
             if keep_idx is None or i == keep_idx:

@@ -137,6 +137,7 @@ class DiffusiveRestoration:
                 patch_micro_batch=cfg.sampling.patch_micro_batch,
                 jit_mode=cfg.sampling.jit_mode,
                 mesh=self.mesh,
+                solver=cfg.sampling.solver,
                 # only x0_preds[x0_pred_index] is consumed -> the scan
                 # carries just that estimate (T*B*H*W floats saved)
                 x0_keep=cfg.sampling.x0_pred_index,
@@ -170,7 +171,8 @@ class DiffusiveRestoration:
 
             x_final, x0s = ddim_sample(fn, x_p, cond_p, self.seq,
                                        self.betas, eta=eta, rng=rng,
-                                       pred_type=cfg.training.pred_type)
+                                       pred_type=cfg.training.pred_type,
+                                       solver=cfg.sampling.solver)
             return x_final[:, :h, :w], x0s[:, :, :h, :w]
 
         def sample(x_init, x_cond, x_other=None, rng=None, params=None,
