@@ -50,4 +50,7 @@ run t200_s10 --t-start 200 --sampling-timesteps 10 --init-ll hfrm --x0-pred-inde
 run t400_s10 --t-start 400 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
 run t300_s5  --t-start 300 --sampling-timesteps 5 --init-ll hfrm --x0-pred-index -1
 run t300_s10_cond --t-start 300 --sampling-timesteps 10 --init-ll cond --x0-pred-index -1
+# DPM-Solver++(2M): same protocol quality at fewer UNet passes?
+run full_dpmpp_s10 --solver dpmpp2m --sampling-timesteps 10 --x0-pred-index -1
+run t300_s5_dpmpp --solver dpmpp2m --t-start 300 --sampling-timesteps 5 --init-ll hfrm --x0-pred-index -1
 echo "sweep done"
