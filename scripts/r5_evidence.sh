@@ -22,11 +22,22 @@ stage() {  # stage <name> <cmd...>: claim atomically, run once, commit
   local name=$1; shift
   local sent="results/.r5_stage_$name"
   [ -e "$sent" ] && { echo "stage $name: already done"; return 0; }
-  # atomic claim: only ONE instance may pass (O_EXCL via noclobber)
-  if ! (set -o noclobber; echo "pid=$$ $(date -u +%FT%TZ)" > "$sent.claim") \
-      2>/dev/null; then
-    echo "stage $name: claimed by another instance; skipping"
-    return 0
+  # atomic claim: only ONE instance may pass (O_EXCL via noclobber).
+  # A claim whose recorded pid is dead is STALE (the claimer was killed
+  # mid-stage) -- reclaim it instead of wedging the stage forever.
+  if ! (set -o noclobber; echo "$$" > "$sent.claim") 2>/dev/null; then
+    local owner
+    owner=$(cat "$sent.claim" 2>/dev/null)
+    if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
+      echo "stage $name: claimed by live pid $owner; skipping"
+      return 0
+    fi
+    echo "stage $name: reclaiming stale claim (dead pid ${owner:-?})"
+    rm -f "$sent.claim"
+    if ! (set -o noclobber; echo "$$" > "$sent.claim") 2>/dev/null; then
+      echo "stage $name: lost reclaim race; skipping"
+      return 0
+    fi
   fi
   echo "=== stage $name ($(date -u)) ==="
   if "$@"; then

@@ -38,13 +38,21 @@ kill_tree() {
   kill -9 "$pid" 2>/dev/null
 }
 
+RELAUNCHES=0
 while true; do
   sleep 120
   grep -q "sweep done" "$LOG" 2>/dev/null && { echo "watchdog: sweep complete"; exit 0; }
   pid=$(cat "$PIDFILE" 2>/dev/null || echo "")
   if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
-    # sweep process gone without the completion line: relaunch resume
-    echo "watchdog: sweep dead without completion ($(date -u)); relaunching"
+    # sweep process gone without the completion line: relaunch resume --
+    # bounded, so a sweep that dies at startup (missing checkpoint etc.)
+    # cannot loop forever and deadlock the master runner
+    RELAUNCHES=$((RELAUNCHES + 1))
+    if [ "$RELAUNCHES" -gt 5 ]; then
+      echo "watchdog: $((RELAUNCHES - 1)) relaunches without completion; giving up"
+      exit 1
+    fi
+    echo "watchdog: sweep dead without completion ($(date -u)); relaunch #$RELAUNCHES"
     OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
       >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
     continue

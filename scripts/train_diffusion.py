@@ -39,19 +39,9 @@ def parse_args():
 
 
 def load_hfrm_params(path, cfg):
-    if not path:
-        return None
-    if path.endswith((".pth", ".pth.tar", ".pt")):
-        from wavedm_tpu.utils.torch_compat import (
-            convert_hfrm_state_dict, load_torch_checkpoint)
-        sd = load_torch_checkpoint(path)
-        return convert_hfrm_state_dict(
-            sd, enc_blk_nums=cfg.hfrm.enc_blk_nums,
-            mid_blk_num=cfg.hfrm.middle_blk_num,
-            dec_blk_nums=cfg.hfrm.dec_blk_nums)
-    from wavedm_tpu.utils.checkpoint import load_checkpoint
-    state, _ = load_checkpoint(path)
-    return state.params
+    # single implementation shared with the inference entry points
+    from wavedm_tpu.inference.loader import load_hfrm_params as _load
+    return _load(path, cfg)
 
 
 def main():

@@ -146,3 +146,26 @@ def test_prune_checkpoints(tmp_path):
     assert removed == 2
     assert left == ["best", "e3", "e4"]   # oldest snapshots gone, best kept
     assert prune_checkpoints(str(tmp_path), keep=0) == 0   # 0 = keep all
+
+
+def test_device_loop_pads_to_fixed_batch():
+    """One compiled program per geometry: short batches must be padded to
+    the fixed batch size before touching the restorer."""
+    shapes_seen = []
+
+    class FakeRestorer:
+        def restore_image(self, batch, rng=None):
+            shapes_seen.append(batch.shape)
+            return batch, None
+
+    server = RestorationServer(FakeRestorer(), batch=4, window_ms=20)
+    server.start()
+    req = _Request(np.full((8, 8, 3), 0.25, np.float32))
+    server.batcher.submit(req)
+    assert req.done.wait(10)
+    server.stop()
+    assert req.error is None
+    assert shapes_seen == [(4, 8, 8, 3)]     # padded 1 -> 4
+    np.testing.assert_allclose(req.out, req.arr)
+    assert server.stats["served"] == 1       # padding rows not counted
+    assert server.stats["last_batch_size"] == 1

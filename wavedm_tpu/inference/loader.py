@@ -63,15 +63,26 @@ def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
     from wavedm_tpu.inference.restoration import DiffusiveRestoration
     from wavedm_tpu.models.unet import DiffusionUNet
 
-    unet = DiffusionUNet.from_config(cfg)
+    init_args = [jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
+                            cfg.model.unet_in_channels)),
+                 jnp.zeros((1,))]
+    if cfg.data.global_attn:
+        # whole-image-context UNet: third (global tensor) input at init
+        # (same construction as scripts/eval_diffusion.py)
+        from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
+        unet = DiffusionUNetGlobal.from_config(cfg)
+        gs = 8 * 2 ** (len(cfg.model.ch_mult) - 1)
+        gc = (cfg.model.in_channels
+              if cfg.data.wavelet and not cfg.data.wavelet_in_unet
+              else cfg.data.channels)
+        init_args.append(jnp.zeros((1, gs, gs, gc)))
+    else:
+        unet = DiffusionUNet.from_config(cfg)
     if resume:
         uparams = load_unet_params(resume, cfg, ema=ema)
     else:
         uparams = jax.jit(unet.init)(
-            jax.random.PRNGKey(cfg.training.seed),
-            jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
-                       cfg.model.unet_in_channels)),
-            jnp.zeros((1,)))["params"]
+            jax.random.PRNGKey(cfg.training.seed), *init_args)["params"]
 
     hfrm_apply = hfrm_params = None
     if cfg.data.wavelet and not cfg.data.wavelet_in_unet:

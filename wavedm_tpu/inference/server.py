@@ -15,9 +15,12 @@ Endpoints:
   GET  /healthz     JSON: device, served/batch stats, queue depth
 
 Protocol notes: requests are grouped ONLY with same-shape peers (each
-geometry is its own compiled program); a mixed queue processes the largest
-group first.  Sampling profile (t_start / steps / grid_r) is fixed at
-startup -- serving wants one warm program, not per-request recompiles.
+geometry is its own compiled program); a mixed queue serves the group
+containing the OLDEST request (no geometry can be starved).  Short batches
+are padded up to the fixed ``batch`` size before hitting the device, so
+each geometry compiles exactly ONE program regardless of arrival counts.
+Sampling profile (t_start / steps / grid_r) is fixed at startup -- serving
+wants one warm program, not per-request recompiles.
 """
 
 from __future__ import annotations
@@ -48,8 +51,8 @@ class Microbatcher:
     Separated from the HTTP layer so the batching policy is unit-testable
     without sockets: ``collect()`` blocks for the first request, then
     drains peers arriving within ``window_ms`` up to ``batch``, returning
-    the largest same-shape group; stragglers of other shapes stay pending
-    for the next call.
+    the same-shape group containing the OLDEST request (so no geometry is
+    starved); stragglers of other shapes stay pending for the next call.
     """
 
     def __init__(self, batch: int = 8, window_ms: float = 30.0):
@@ -123,9 +126,18 @@ class RestorationServer:
             try:
                 rng, sub = jax.random.split(rng)
                 stacked = np.stack([r.arr for r in reqs])
+                # pad short batches to the FIXED batch size (repeat the last
+                # image): one compiled program per geometry, never one per
+                # arrival count -- a fresh tiled-DDIM compile costs minutes
+                # through a remote-compile relay
+                pad = self.batcher.batch - len(reqs)
+                if pad > 0:
+                    stacked = np.concatenate(
+                        [stacked, np.repeat(stacked[-1:], pad, axis=0)])
                 out, _ = self.restorer.restore_image(stacked, sub)
-                for r, img in zip(reqs, out):
+                for r, img in zip(reqs, out[:len(reqs)]):
                     r.out = np.asarray(img)
+                self.stats["served"] += len(reqs)
             except Exception as e:  # noqa: BLE001 -- fan the error out
                 for r in reqs:
                     r.error = f"{type(e).__name__}: {e}"[:500]
@@ -133,7 +145,6 @@ class RestorationServer:
             finally:
                 ms = (time.time() - t0) * 1e3
                 self.stats["batches"] += 1
-                self.stats["served"] += len(reqs)
                 self.stats["last_batch_ms"] = round(ms, 1)
                 self.stats["last_batch_size"] = len(reqs)
                 for r in reqs:
