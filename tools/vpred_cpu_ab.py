@@ -128,18 +128,32 @@ def main():
         # full 25-step DDIM chain from pure noise (reference protocol)
         def model_fn(x, t):
             return model.apply({"params": params_t}, x, t)
-        x_init = jax.random.normal(jax.random.PRNGKey(4), gt_t.shape)
-        x_final, _ = ddim_sample(model_fn, x_init, cond_t, seq, betas,
-                                 pred_type=arm)
-        out01 = inverse_data_transform(x_final)
         gt01 = jnp.asarray(test[..., 3:])
-        mse = float(jnp.mean(jnp.square(out01 - gt01)))
-        psnr = -10 * np.log10(mse)
+
+        def chain_psnr(x_init, chain_seq):
+            x_final, _ = ddim_sample(model_fn, x_init, cond_t, chain_seq,
+                                     betas, pred_type=arm)
+            mse = float(jnp.mean(jnp.square(
+                inverse_data_transform(x_final) - gt01)))
+            return round(-10 * np.log10(mse), 2), round(mse, 5)
+
+        noise = jax.random.normal(jax.random.PRNGKey(4), gt_t.shape)
+        full_psnr, full_mse = chain_psnr(noise, seq)
+        # truncated refinement from the degraded cond (t_start=300, 10
+        # steps -- the production profile shape, init_ll=cond since the
+        # toy task has no stage-1 restorer)
+        t_start = 300
+        seq_t = np.arange(0, t_start, t_start // 10, dtype=np.int32)
+        a_s = float(abar[int(seq_t[-1])])
+        x_t300 = cond_t * np.sqrt(a_s) + noise * np.sqrt(1 - a_s)
+        t300_psnr, t300_mse = chain_psnr(x_t300, seq_t)
         results[arm] = {"final_train_loss": round(loss, 2),
                         "train_s": round(train_s, 1),
                         "teacher_forced_x0_mse": tf,
-                        "chain25_mse": round(mse, 5),
-                        "chain25_psnr_db": round(psnr, 2)}
+                        "chain25_mse": full_mse,
+                        "chain25_psnr_db": full_psnr,
+                        "t300_s10_mse": t300_mse,
+                        "t300_s10_psnr_db": t300_psnr}
 
     cond01 = test[..., :3]
     results["degraded_input_psnr_db"] = round(float(
