@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--split", default="test", choices=["train", "test"])
     ap.add_argument("--n-crops", type=int, default=16)
     ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="SECTION.KEY=VALUE")
     args = ap.parse_args()
 
     from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
@@ -42,7 +44,7 @@ def main():
     from wavedm_tpu.utils.checkpoint import load_checkpoint
     from scripts.train_diffusion import load_hfrm_params
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, getattr(args, 'overrides', []))
     m = cfg.model
     unet = DiffusionUNet.from_config(cfg)
     state, _ = load_checkpoint(args.resume)
@@ -83,8 +85,13 @@ def main():
         xt = x_tar * jnp.sqrt(a) + e * jnp.sqrt(1 - a)
         inp = jnp.concatenate([cond_w, xt, other], axis=-1)
         n = inp.shape[0]
-        et = unet.apply({"params": uparams}, inp,
-                        jnp.full((n,), t_scalar, jnp.float32))
+        out = unet.apply({"params": uparams}, inp,
+                         jnp.full((n,), t_scalar, jnp.float32))
+        if cfg.training.pred_type == "v":
+            # v-parameterized checkpoint: convert to the implied epsilon
+            et = jnp.sqrt(1 - a) * xt + jnp.sqrt(a) * out
+        else:
+            et = out
         x0_hat = (xt - et * jnp.sqrt(1 - a)) / jnp.sqrt(a)
         return (jnp.mean((et - e) ** 2), jnp.mean((x0_hat - x_tar) ** 2))
 
