@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--x0-pred-index", type=int, default=None)
     ap.add_argument("--sampling-timesteps", type=int, default=None)
     ap.add_argument("--no-begin-from-noise", action="store_true")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="SECTION.KEY=VALUE")
     args = ap.parse_args()
 
     from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
@@ -59,7 +61,7 @@ def main():
     from wavedm_tpu.utils.checkpoint import load_checkpoint
     from scripts.train_diffusion import load_hfrm_params
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, getattr(args, 'overrides', []))
     if args.x0_pred_index is not None:
         cfg.sampling.x0_pred_index = args.x0_pred_index
     if args.sampling_timesteps is not None:

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--seeds", type=int, default=16)
     ap.add_argument("--out", default="results/r4_seed_study.json")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="SECTION.KEY=VALUE")
     args = ap.parse_args()
 
     from wavedm_tpu.utils.tpu_lock import acquire_tpu_lock
