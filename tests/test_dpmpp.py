@@ -161,3 +161,29 @@ def test_config_validation():
     cfg.sampling.solver = "heun"
     with pytest.raises(ConfigError):
         cfg.validate()
+
+
+def test_dpmpp_invariant_under_v_reparameterization():
+    """pred_type=v and solver=dpmpp2m compose: the v-model algebraically
+    equivalent to an eps-model yields the identical dpmpp trajectory."""
+    from wavedm_tpu.diffusion.schedules import alpha_bars as _ab
+    abar = _ab(BETAS)
+
+    def v_of_eps(model):
+        def v_model(x, t):
+            a = abar[t.astype(jnp.int32) + 1][:, None, None, None]
+            return (model(x, t) - jnp.sqrt(1 - a) * x[..., 2:4]) / jnp.sqrt(a)
+        return v_model
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    seq = ddim_timesteps(1000, 6)
+    xf_e, x0_e = ddim_sample(_linear_model, x, cond, seq, BETAS,
+                             solver="dpmpp2m")
+    xf_v, x0_v = ddim_sample(v_of_eps(_linear_model), x, cond, seq, BETAS,
+                             solver="dpmpp2m", pred_type="v")
+    np.testing.assert_allclose(np.asarray(xf_v), np.asarray(xf_e),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0_v), np.asarray(x0_e),
+                               atol=1e-4, rtol=1e-4)
