@@ -130,15 +130,19 @@ def main():
             return model.apply({"params": params_t}, x, t)
         gt01 = jnp.asarray(test[..., 3:])
 
-        def chain_psnr(x_init, chain_seq):
+        def chain_psnr(x_init, chain_seq, solver="ddim"):
             x_final, _ = ddim_sample(model_fn, x_init, cond_t, chain_seq,
-                                     betas, pred_type=arm)
+                                     betas, pred_type=arm, solver=solver)
             mse = float(jnp.mean(jnp.square(
                 inverse_data_transform(x_final) - gt01)))
             return round(-10 * np.log10(mse), 2), round(mse, 5)
 
         noise = jax.random.normal(jax.random.PRNGKey(4), gt_t.shape)
         full_psnr, full_mse = chain_psnr(noise, seq)
+        # solver dial: can 10-step dpmpp2m match the 25-step DDIM chain?
+        seq10 = ddim_timesteps(cfg.diffusion.num_diffusion_timesteps, 10)
+        dpm10_psnr, _ = chain_psnr(noise, seq10, solver="dpmpp2m")
+        ddim10_psnr, _ = chain_psnr(noise, seq10)
         # truncated refinement from the degraded cond (t_start=300, 10
         # steps -- the production profile shape, init_ll=cond since the
         # toy task has no stage-1 restorer)
@@ -152,6 +156,8 @@ def main():
                         "teacher_forced_x0_mse": tf,
                         "chain25_mse": full_mse,
                         "chain25_psnr_db": full_psnr,
+                        "chain10_ddim_psnr_db": ddim10_psnr,
+                        "chain10_dpmpp2m_psnr_db": dpm10_psnr,
                         "t300_s10_mse": t300_mse,
                         "t300_s10_psnr_db": t300_psnr}
 
