@@ -68,7 +68,6 @@ def main():
     from wavedm_tpu.config import load_config
     from wavedm_tpu.inference.restoration import DiffusiveRestoration
     from wavedm_tpu.models.hfrm import HFRM
-    from wavedm_tpu.models.unet import DiffusionUNet
     from wavedm_tpu.parallel.distributed import initialize_multihost
 
     initialize_multihost()  # reference eval also NCCL-inits
@@ -91,19 +90,8 @@ def main():
     cfg.validate()
 
     key = jax.random.PRNGKey(cfg.training.seed)
-    sample = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
-                        cfg.model.unet_in_channels))
-    init_args = [sample, jnp.zeros((1,))]
-    if cfg.data.global_attn:
-        from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
-        unet = DiffusionUNetGlobal.from_config(cfg)
-        gs = 8 * 2 ** (len(cfg.model.ch_mult) - 1)
-        gc = (cfg.model.in_channels
-              if cfg.data.wavelet and not cfg.data.wavelet_in_unet
-              else cfg.data.channels)
-        init_args.append(jnp.zeros((1, gs, gs, gc)))
-    else:
-        unet = DiffusionUNet.from_config(cfg)
+    from wavedm_tpu.inference.loader import build_unet
+    unet, init_args = build_unet(cfg)
     uparams = jax.jit(unet.init)(key, *init_args)["params"]
 
     if args.resume:

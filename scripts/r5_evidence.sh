@@ -22,22 +22,26 @@ stage() {  # stage <name> <cmd...>: claim atomically, run once, commit
   local name=$1; shift
   local sent="results/.r5_stage_$name"
   [ -e "$sent" ] && { echo "stage $name: already done"; return 0; }
-  # atomic claim: only ONE instance may pass (O_EXCL via noclobber).
-  # A claim whose recorded pid is dead is STALE (the claimer was killed
-  # mid-stage) -- reclaim it instead of wedging the stage forever.
-  if ! (set -o noclobber; echo "$$" > "$sent.claim") 2>/dev/null; then
-    local owner
+  # Claim check-and-set runs UNDER a per-stage flock, so two instances can
+  # never both pass (the naive rm+recreate reclaim raced).  A claim whose
+  # recorded pid is dead is STALE (claimer killed mid-stage) -- reclaimed
+  # here instead of wedging the stage forever.
+  local claimed
+  claimed=$(
+    exec 9>"$sent.meta.lock"
+    flock 9
     owner=$(cat "$sent.claim" 2>/dev/null)
     if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
-      echo "stage $name: claimed by live pid $owner; skipping"
-      return 0
+      echo "busy:$owner"
+    else
+      [ -n "$owner" ] && echo "reclaimed from dead pid $owner" >&2
+      echo "$$" > "$sent.claim"
+      echo "ok"
     fi
-    echo "stage $name: reclaiming stale claim (dead pid ${owner:-?})"
-    rm -f "$sent.claim"
-    if ! (set -o noclobber; echo "$$" > "$sent.claim") 2>/dev/null; then
-      echo "stage $name: lost reclaim race; skipping"
-      return 0
-    fi
+  )
+  if [ "$claimed" != "ok" ]; then
+    echo "stage $name: claimed by live pid ${claimed#busy:}; skipping"
+    return 0
   fi
   echo "=== stage $name ($(date -u)) ==="
   if "$@"; then

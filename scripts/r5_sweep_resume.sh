@@ -40,7 +40,7 @@ run t300_s10 --t-start 300 --sampling-timesteps 10 --init-ll hfrm --x0-pred-inde
 run full_chain_ema --ema
 run t300_s10_ema --ema --t-start 300 --sampling-timesteps 10 --init-ll hfrm --x0-pred-index -1
 
-if ! grep -q "band" "$OUT/diag.log" 2>/dev/null; then
+if ! grep -q "LL MSE" "$OUT/diag.log" 2>/dev/null; then
   python -u tools/diag_quality.py --config "$CFG" --resume "$CK" \
       --hfrm-ckpt "$HF" --split both --n 8 2>&1 | tail -60 \
       | tee "$OUT/diag.log"

@@ -38,31 +38,45 @@ kill_tree() {
   kill -9 "$pid" 2>/dev/null
 }
 
+rows_done() {  # completed sweep rows (resume skips these): real progress
+  grep -l psnr "$REPO"/results/r5_sweep/*.log 2>/dev/null | wc -l
+}
+
+relaunch() {  # bounded relaunch, shared by the dead and stalled paths;
+              # the counter RESETS whenever a retry completed a new row,
+              # so recurring RPC drops on a progressing sweep never give up
+  local now_rows
+  now_rows=$(rows_done)
+  if [ "$now_rows" -gt "$ROWS_AT_LAST_RELAUNCH" ]; then
+    RELAUNCHES=0
+  fi
+  ROWS_AT_LAST_RELAUNCH=$now_rows
+  RELAUNCHES=$((RELAUNCHES + 1))
+  if [ "$RELAUNCHES" -gt 5 ]; then
+    echo "watchdog: $((RELAUNCHES - 1)) relaunches without a new row; giving up"
+    exit 1
+  fi
+  echo "watchdog: relaunch #$RELAUNCHES ($(date -u), $now_rows rows done)"
+  OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
+    >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
+}
+
 RELAUNCHES=0
+ROWS_AT_LAST_RELAUNCH=$(rows_done)
 while true; do
   sleep 120
   grep -q "sweep done" "$LOG" 2>/dev/null && { echo "watchdog: sweep complete"; exit 0; }
   pid=$(cat "$PIDFILE" 2>/dev/null || echo "")
   if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
-    # sweep process gone without the completion line: relaunch resume --
-    # bounded, so a sweep that dies at startup (missing checkpoint etc.)
-    # cannot loop forever and deadlock the master runner
-    RELAUNCHES=$((RELAUNCHES + 1))
-    if [ "$RELAUNCHES" -gt 5 ]; then
-      echo "watchdog: $((RELAUNCHES - 1)) relaunches without completion; giving up"
-      exit 1
-    fi
-    echo "watchdog: sweep dead without completion ($(date -u)); relaunch #$RELAUNCHES"
-    OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
-      >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
+    echo "watchdog: sweep dead without completion"
+    relaunch
     continue
   fi
   now=$(date +%s); last=$(newest_mtime)
   if [ $((now - last)) -gt "$STALL_S" ]; then
-    echo "watchdog: stall $((now - last))s ($(date -u)); killing $pid + relaunching"
+    echo "watchdog: stall $((now - last))s; killing $pid"
     kill_tree "$pid"
     sleep 10
-    OUT="$REPO/results/r5_sweep" nohup bash "$REPO/scripts/r5_sweep_resume.sh" \
-      >> "$LOG" 2>&1 & echo $! > "$PIDFILE"
+    relaunch
   fi
 done

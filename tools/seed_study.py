@@ -58,8 +58,9 @@ def main():
     from wavedm_tpu.utils.metrics import psnr_torch
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(repo,
-                                   "wavedm_tpu/configs/raindrop_wavelet.yaml"))
+    cfg = load_config(os.path.join(
+        repo, "wavedm_tpu/configs/raindrop_wavelet.yaml"),
+        getattr(args, "overrides", []))
     latest = find_latest_checkpoint(os.path.join(repo, "saved_models/r3_ddpm"))
     assert latest, "trained r3 checkpoint required for this study"
     state, _ = load_checkpoint(latest)

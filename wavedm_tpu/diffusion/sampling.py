@@ -165,7 +165,9 @@ def ddim_sample(
         rng = jax.random.PRNGKey(0)
 
     def step(carry, per_step):
-        xt, key, d_prev = carry
+        # the d_prev slot exists only for the multistep solver -- the ddim
+        # carry stays (xt, key) so the hot path hauls no dead buffer
+        xt, key = carry[0], carry[1]
         t, a = per_step[0], per_step[1]
         et = model_fn(jnp.concatenate([x_cond, xt], axis=-1),
                       jnp.full((n,), t))
@@ -178,15 +180,16 @@ def ddim_sample(
             noise = (jax.random.normal(sub, xt.shape, xt.dtype)
                      if eta > 0 else 0.0)
             xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
-        else:
-            _, _, sig_ratio, alpha_n, em1, cc2 = per_step
-            d_tilde = (1 + cc2) * x0_t - cc2 * d_prev
-            xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
+            return (xt_next, key), x0_t
+        _, _, sig_ratio, alpha_n, em1, cc2 = per_step
+        d_tilde = (1 + cc2) * x0_t - cc2 * carry[2]
+        xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
         return (xt_next, key, x0_t), x0_t
 
-    (x_final, _, _), x0_preds = jax.lax.scan(
-        step, (x, rng, jnp.zeros_like(x)), per_steps)
-    return x_final, x0_preds
+    carry0 = ((x, rng) if solver == "ddim"
+              else (x, rng, jnp.zeros_like(x)))
+    final_carry, x0_preds = jax.lax.scan(step, carry0, per_steps)
+    return final_carry[0], x0_preds
 
 
 def make_overlapping_sampler(
@@ -307,7 +310,9 @@ def make_overlapping_sampler(
 
     def step(params, carry, per_step, cond_p, other_p, x_global,
              corners_a, counts_a):
-        xt, key, d_prev = carry
+        # ddim carry is (xt, key); dpmpp2m appends its d_prev slot -- the
+        # hot reference-protocol path hauls no dead (B,H,W,C) buffer
+        xt, key = carry[0], carry[1]
         t, a = per_step[0], per_step[1]
         b = xt.shape[0]
         xt_p = gather_patches(xt, corners_a)
@@ -339,10 +344,11 @@ def make_overlapping_sampler(
             else:
                 noise = 0.0
             xt_next = jnp.sqrt(a_nx) * x0_t + cc1 * noise + cc2 * et
-        else:  # dpmpp2m multistep update on the data prediction
-            _, _, sig_ratio, alpha_n, em1, cc2 = per_step
-            d_tilde = (1 + cc2) * x0_t - cc2 * d_prev
-            xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
+            return (xt_next, key), x0_t
+        # dpmpp2m multistep update on the data prediction
+        _, _, sig_ratio, alpha_n, em1, cc2 = per_step
+        d_tilde = (1 + cc2) * x0_t - cc2 * carry[2]
+        xt_next = sig_ratio * xt - alpha_n * em1 * d_tilde
         return (xt_next, key, x0_t), x0_t
 
     def prep_cond(x_cond, x_other, corners_a):
@@ -364,13 +370,14 @@ def make_overlapping_sampler(
         def sample_scan(params, x_init, x_cond, x_other, x_global, rng,
                         corners_a, counts_a):
             cond_p, other_p = prep_cond(x_cond, x_other, corners_a)
-            carry0 = (x_init, rng, jnp.zeros_like(x_init))
+            carry0 = ((x_init, rng) if solver == "ddim"
+                      else (x_init, rng, jnp.zeros_like(x_init)))
             if keep_idx is None:
-                (x_final, _, _), x0_preds = jax.lax.scan(
+                final_c, x0_preds = jax.lax.scan(
                     lambda c, per: step(params, c, per, cond_p, other_p,
                                         x_global, corners_a, counts_a),
                     carry0, per_steps)
-                return x_final, x0_preds
+                return final_c[0], x0_preds
 
             # carry only the kept x0 estimate (no T-step trajectory in HBM)
             flags = jnp.arange(n_steps) == keep_idx
@@ -382,10 +389,10 @@ def make_overlapping_sampler(
                 kept = jnp.where(per[-1], x0_t, kept)
                 return (inner, kept), None
 
-            ((x_final, _, _), kept), _ = jax.lax.scan(
+            (final_c, kept), _ = jax.lax.scan(
                 body, (carry0, jnp.zeros_like(x_init)),
                 per_steps + (flags,))
-            return x_final, kept[None]
+            return final_c[0], kept[None]
 
         def sample(x_init, x_cond, x_other=None, rng=None,
                    params=None, x_global=None):
@@ -410,7 +417,8 @@ def make_overlapping_sampler(
         if rng is None:
             rng = jax.random.PRNGKey(0)
         cond_p, other_p = prep_jit(x_cond, x_other, corners_np)
-        carry = (x_init, rng, jnp.zeros_like(x_init))
+        carry = ((x_init, rng) if solver == "ddim"
+                 else (x_init, rng, jnp.zeros_like(x_init)))
         x0s = []
         for i in range(n_steps):
             per_step = tuple(arr[i] for arr in per_steps)

@@ -49,26 +49,18 @@ def load_unet_params(path: str, cfg: Config, ema: bool = False):
     return state.ema if ema else state.params
 
 
-def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
-                   ema: bool = False, mesh=None):
-    """Assemble the full restoration runner for a validated config.
-
-    ``resume`` empty -> random-init UNet (smoke/testing).  Raises with a
-    named error when the wavelet path lacks a stage-1 checkpoint.
-    ``mesh``: optional 1-D data mesh for patch-parallel tiled inference.
-    """
-    import jax
+def build_unet(cfg: Config):
+    """(unet module, init example args) for the config's UNet family --
+    the single source of the global-attention selection and the global
+    tensor's init geometry (shared by eval/restore/serve)."""
     import jax.numpy as jnp
 
-    from wavedm_tpu.inference.restoration import DiffusiveRestoration
     from wavedm_tpu.models.unet import DiffusionUNet
 
     init_args = [jnp.zeros((1, cfg.data.image_size, cfg.data.image_size,
                             cfg.model.unet_in_channels)),
                  jnp.zeros((1,))]
     if cfg.data.global_attn:
-        # whole-image-context UNet: third (global tensor) input at init
-        # (same construction as scripts/eval_diffusion.py)
         from wavedm_tpu.models.unet_global import DiffusionUNetGlobal
         unet = DiffusionUNetGlobal.from_config(cfg)
         gs = 8 * 2 ** (len(cfg.model.ch_mult) - 1)
@@ -78,6 +70,22 @@ def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
         init_args.append(jnp.zeros((1, gs, gs, gc)))
     else:
         unet = DiffusionUNet.from_config(cfg)
+    return unet, init_args
+
+
+def build_restorer(cfg: Config, resume: str, hfrm_ckpt: str = "",
+                   ema: bool = False, mesh=None):
+    """Assemble the full restoration runner for a validated config.
+
+    ``resume`` empty -> random-init UNet (smoke/testing).  Raises with a
+    named error when the wavelet path lacks a stage-1 checkpoint.
+    ``mesh``: optional 1-D data mesh for patch-parallel tiled inference.
+    """
+    import jax
+
+    from wavedm_tpu.inference.restoration import DiffusiveRestoration
+
+    unet, init_args = build_unet(cfg)
     if resume:
         uparams = load_unet_params(resume, cfg, ema=ema)
     else:
