@@ -126,10 +126,14 @@ def main():
     cond, gt = conds[:1], gts[:1]
 
     def build(dtype: str, t_start: int = 0,
-              fused: bool = False) -> DiffusiveRestoration:
+              fused: bool = False, solver: str = "ddim",
+              steps: int = 0) -> DiffusiveRestoration:
         c = copy.deepcopy(cfg)
         c.parallel.compute_dtype = dtype
         c.parallel.fused_resblock = fused
+        c.sampling.solver = solver
+        if steps:
+            c.sampling.sampling_timesteps = steps
         if t_start:
             # production sampling mode: truncated refinement from the
             # stage-1 LL (sampling.t_start) -- measured BETTER quality than
@@ -226,7 +230,8 @@ def main():
 
     def add_config(key, dtype, batch, **kw):
         protocol = "production" if kw.get("t_start") else "reference"
-        steps = PROD_STEPS if kw.get("t_start") else REF_STEPS
+        steps = kw.get("steps") or (PROD_STEPS if kw.get("t_start")
+                                    else REF_STEPS)
         try:
             r = build(dtype, **kw)
             d, rb, o = measure(r, batch)
@@ -265,6 +270,9 @@ def main():
     add_config("bf16_b8_tstart", "bfloat16", 8, t_start=PROD_TSTART)
     add_config("bf16_b8_tstart_fused", "bfloat16", 8,
                t_start=PROD_TSTART, fused=True)
+    # solver dial: 2nd-order multistep at fewer steps, same quality gate
+    # (sampling.solver=dpmpp2m; see tests/test_dpmpp.py + PERF.md caveat)
+    add_config("bf16_b8_dpmpp10", "bfloat16", 8, solver="dpmpp2m", steps=10)
 
     # HFRM-alone quality bar: the diffusion stage must BEAT this for the
     # two-stage pipeline to be worth running (VERDICT r3 weak #4)
